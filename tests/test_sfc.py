@@ -1,0 +1,205 @@
+"""Property + parity tests for space-filling-curve clustering.
+
+Property assertions replace the reference's eyeball-only OpenCV test
+(``models/test_cluster.py``); parity tests compare elementwise against the
+reference torch implementation loaded as an oracle.
+"""
+
+import math
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ml_autofocusformermod_tpu.ops import sfc
+
+from conftest import requires_reference
+
+
+def random_point_cloud(rng, b, n, h, w):
+    """Distinct integer grid positions per batch element (like real tokens)."""
+    pos = np.stack(
+        [
+            rng.permutation(h * w)[:n]
+            for _ in range(b)
+        ]
+    )
+    return np.stack([pos % w, pos // w], axis=2).astype(np.float32)
+
+
+@pytest.mark.parametrize("sf_type", ["", "peano", "hilbert"])
+@pytest.mark.parametrize(
+    "b,n,m,h,w",
+    [
+        (2, 96, 8, 28, 28),
+        (3, 100, 8, 30, 30),  # non-divisible: padding path
+        (1, 49, 7, 14, 14),
+        # Non-square canvas: scanline + peano only. The hilbert widened-first-
+        # level path is broken for w != h with first_w != 2 in the reference
+        # itself (out-of-range gather into the 4-wide rot_res_dict,
+        # point_utils.py:338-339), so it is out of the supported surface.
+        (2, 60, 8, 10, 20),
+    ],
+)
+def test_cluster_properties(sf_type, b, n, m, h, w):
+    if sf_type == "hilbert" and h != w:
+        pytest.skip("hilbert non-square unsupported (broken in reference too)")
+    rng = np.random.default_rng(0)
+    pos = random_point_cloud(rng, b, n, h, w)
+    out = sfc.space_filling_cluster(jnp.asarray(pos), m, h, w, sf_type=sf_type)
+    pos_sorted, mean_pos, member_idx, mask, ranking = out
+    k = math.ceil(n / m)
+
+    assert pos_sorted.shape == (b, n, 2)
+    assert mean_pos.shape == (b, k, 2)
+    assert member_idx.shape == (b, k, m)
+    assert ranking.shape == (b, n, 1)
+
+    ranking = np.asarray(ranking)[..., 0]
+    # ranking is a permutation: every token assigned exactly once
+    for i in range(b):
+        assert sorted(ranking[i].tolist()) == list(range(n))
+
+    # reordered pos consistent with ranking
+    np.testing.assert_array_equal(
+        np.asarray(pos_sorted), np.take_along_axis(pos, ranking[..., None], 1)
+    )
+
+    # member_idx covers tokens 0..n-1 (in the reordered frame), padded with 0
+    mi = np.asarray(member_idx).reshape(b, -1)
+    np.testing.assert_array_equal(mi[:, :n], np.arange(n)[None].repeat(b, 0))
+
+    if k * m == n:
+        assert mask is None
+        expect_mean = np.asarray(pos_sorted).reshape(b, k, m, 2).mean(2)
+    else:
+        mask = np.asarray(mask)
+        assert mask.shape == (b, k, m)
+        flat = mask.reshape(b, -1)
+        np.testing.assert_array_equal(flat[:, :n], 1)
+        np.testing.assert_array_equal(flat[:, n:], 0)
+        padded = np.zeros((b, k * m, 2), np.float32)
+        padded[:, :n] = np.asarray(pos_sorted)
+        expect_mean = padded.reshape(b, k, m, 2).sum(2) / mask.sum(
+            2, keepdims=True
+        )
+    np.testing.assert_allclose(np.asarray(mean_pos), expect_mean, atol=1e-5)
+
+    # clusters are spatially coherent: mean intra-cluster spread is far below
+    # the random-assignment baseline
+    centers = np.asarray(mean_pos)
+    padded = np.zeros((b, k * m, 2), np.float32)
+    padded[:, :n] = np.asarray(pos_sorted)
+    members = padded.reshape(b, k, m, 2)
+    valid = np.ones((b, k, m)) if k * m == n else mask
+    spread = (((members - centers[:, :, None]) ** 2).sum(-1) * valid).sum() / valid.sum()
+    assert spread < (h * w) / k  # anchors tile the canvas into ~hw/k cells
+
+
+@pytest.mark.parametrize("sf_type", ["", "peano", "hilbert"])
+def test_no_reorder_mode(sf_type):
+    rng = np.random.default_rng(1)
+    b, n, m, h, w = 2, 100, 8, 30, 30
+    pos = random_point_cloud(rng, b, n, h, w)
+    mean_pos, member_idx, mask = sfc.space_filling_cluster(
+        jnp.asarray(pos), m, h, w, no_reorder=True, sf_type=sf_type
+    )
+    k = math.ceil(n / m)
+    assert member_idx.shape == (b, k, m)
+    mi = np.asarray(member_idx).reshape(b, -1)
+    for i in range(b):
+        assert sorted(mi[i, :n].tolist()) == list(range(n))
+
+
+def test_grid_cluster_matches_traced():
+    h = w = 28
+    m = 8
+    pos_s, mean_pos, member_idx, mask, reorder = sfc.grid_cluster(h, w, m)
+    ys, xs = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    pos = np.stack([xs, ys], 2).reshape(1, -1, 2).astype(np.float32)
+    out = sfc.space_filling_cluster(jnp.asarray(pos), m, h, w)
+    np.testing.assert_array_equal(pos_s, np.asarray(out[0])[0])
+    np.testing.assert_array_equal(member_idx, np.asarray(out[2])[0])
+    np.testing.assert_array_equal(reorder, np.asarray(out[4])[0, :, 0])
+
+
+@requires_reference
+@pytest.mark.parametrize("sf_type", ["", "peano", "hilbert"])
+@pytest.mark.parametrize(
+    "b,n,m,h,w",
+    [
+        (2, 96, 8, 28, 28),
+        (3, 100, 8, 30, 30),
+        (2, 784, 8, 56, 56),
+        (2, 60, 8, 10, 20),
+    ],
+)
+def test_cluster_parity_vs_reference(ref_point_utils, sf_type, b, n, m, h, w):
+    import torch
+
+    rng = np.random.default_rng(42)
+    pos = random_point_cloud(rng, b, n, h, w)
+
+    ref = ref_point_utils.space_filling_cluster(
+        torch.from_numpy(pos), m, h, w, sf_type=sf_type
+    )
+    ref_pos, ref_mean, ref_member, ref_mask, ref_rank = ref
+
+    ours = sfc.space_filling_cluster(jnp.asarray(pos), m, h, w, sf_type=sf_type)
+    our_pos, our_mean, our_member, our_mask, our_rank = ours
+
+    # Ranking parity modulo sort ties: XLA sort is stable while torch's is
+    # not, and last-ulp fp32 differences can swap adjacent near-equal keys
+    # (documented tie-break delta, SURVEY.md §7 hard part 5). Wherever the
+    # rankings differ, the swapped tokens' sort keys must be near-equal.
+    our_rank = np.asarray(our_rank)[..., 0]
+    ref_rank = ref_rank.numpy()[..., 0]
+    k = math.ceil(n / m)
+    npw, plhw, anchor_rank, prev_m, next_m = sfc._anchor_tables(h, w, k, sf_type)
+    cell = np.floor(pos / plhw)
+    cidx = (cell[..., 0] + cell[..., 1] * npw).astype(int)
+    assign = anchor_rank[cidx].astype(np.float32)
+    dp = ((pos - prev_m[assign.astype(int)]) ** 2).sum(-1)
+    dn = ((pos - next_m[assign.astype(int)]) ** 2).sum(-1)
+    ratio = (dp / (dn + 1e-5)).astype(np.float32)
+    key = assign * (ratio.max() + 1) + ratio
+
+    diff = our_rank != ref_rank
+    assert diff.mean() < 0.15, "rankings diverge beyond tie noise"
+    key_ours = np.take_along_axis(key, our_rank, 1)
+    key_ref = np.take_along_axis(key, ref_rank, 1)
+    np.testing.assert_allclose(
+        key_ours[diff], key_ref[diff], rtol=1e-5,
+        err_msg="ranking mismatch on non-tied keys",
+    )
+    # sorted key sequences must agree exactly as sequences
+    np.testing.assert_allclose(key_ours, key_ref, rtol=1e-5)
+
+    np.testing.assert_allclose(
+        np.asarray(our_mean)[~np.any(diff, 1)],
+        ref_mean.numpy()[~np.any(diff, 1)],
+        atol=1e-4,
+    )
+    np.testing.assert_array_equal(np.asarray(our_member), ref_member.numpy())
+    if ref_mask is None:
+        assert our_mask is None
+    else:
+        np.testing.assert_array_equal(np.asarray(our_mask), ref_mask.numpy())
+
+
+@requires_reference
+@pytest.mark.parametrize("curve", ["peano", "hilbert"])
+@pytest.mark.parametrize("h,w", [(27, 27), (16, 16), (9, 18), (8, 16)])
+def test_curve_order_parity(ref_point_utils, curve, h, w):
+    import torch
+
+    rng = np.random.default_rng(7)
+    n = min(h * w, 120)
+    pos = random_point_cloud(rng, 2, n, h, w)
+
+    ref_fn = getattr(ref_point_utils, f"calculate_{curve}_order")
+    our_fn = getattr(sfc, f"calculate_{curve}_order")
+    ref_rank, ref_idx = ref_fn(h, w, torch.from_numpy(pos))
+    our_rank, our_idx = our_fn(h, w, jnp.asarray(pos))
+    np.testing.assert_array_equal(np.asarray(our_rank), ref_rank.numpy())
+    np.testing.assert_array_equal(np.asarray(our_idx), ref_idx.numpy())
