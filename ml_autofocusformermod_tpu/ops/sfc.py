@@ -39,6 +39,8 @@ __all__ = [
     "grid_cluster",
     "calculate_peano_order",
     "calculate_hilbert_order",
+    "peano_order_values",
+    "hilbert_order_values",
     "scanline_order_values",
 ]
 
@@ -72,15 +74,11 @@ def scanline_order_values(h: int, w: int, xp=np):
 # Space-filling curve orders (Peano base-3, Hilbert base-2)
 # ---------------------------------------------------------------------------
 
-def calculate_peano_order(h: int, w: int, pos, xp=jnp):
-    """Multi-level base-3 Peano curve rank of 2-D points on an h x w canvas.
+def peano_order_values(h: int, w: int, pos, xp=jnp):
+    """Raw multi-level base-3 Peano curve order value per token.
 
-    Port of the reference semantics (``point_utils.py:211-282``) with
-    orientation-inversion tables; supports non-square canvases via a widened
-    first level. ``pos`` is ``(b, n, 2)`` float (x, y).
-
-    Returns ``(rank, order_index)``: ``rank[b, i]`` is the curve rank of
-    token ``i``; ``order_index[b, r]`` is the token index at rank ``r``.
+    Tokens sharing every level cell tie (possible off lattice-of-3 grids);
+    :func:`calculate_peano_order` breaks ties by stable argsort.
     """
     b, n, _ = pos.shape
     num_levels = math.ceil(math.log(h, 3))
@@ -142,17 +140,27 @@ def calculate_peano_order(h: int, w: int, pos, xp=jnp):
     final_order = orders[-1]
     for i in range(num_levels - 1):
         final_order = final_order + orders[i] * (9 ** (num_levels - i - 1))
+    return final_order
+
+
+def calculate_peano_order(h: int, w: int, pos, xp=jnp):
+    """Multi-level base-3 Peano curve rank of 2-D points on an h x w canvas.
+
+    Port of the reference semantics (``point_utils.py:211-282``) with
+    orientation-inversion tables; supports non-square canvases via a widened
+    first level. ``pos`` is ``(b, n, 2)`` float (x, y).
+
+    Returns ``(rank, order_index)``: ``rank[b, i]`` is the curve rank of
+    token ``i``; ``order_index[b, r]`` is the token index at rank ``r``.
+    """
+    final_order = peano_order_values(h, w, pos, xp=xp)
     order_index = _argsort(final_order, 1, xp)
     rank = _inverse_permutation(order_index, 1, xp)
     return rank, order_index
 
 
-def calculate_hilbert_order(h: int, w: int, pos, xp=jnp):
-    """Multi-level base-2 Hilbert curve rank with rotation-state tables.
-
-    Port of the reference semantics (``point_utils.py:285-349``); same return
-    convention as :func:`calculate_peano_order`.
-    """
+def hilbert_order_values(h: int, w: int, pos, xp=jnp):
+    """Raw multi-level base-2 Hilbert curve order value per token."""
     b, n, _ = pos.shape
     num_levels = math.ceil(math.log(h, 2))
     assert num_levels >= 1, "h too short"
@@ -212,6 +220,16 @@ def calculate_hilbert_order(h: int, w: int, pos, xp=jnp):
     final_order = orders[-1]
     for i in range(num_levels - 1):
         final_order = final_order + orders[i] * (4 ** (num_levels - i - 1))
+    return final_order
+
+
+def calculate_hilbert_order(h: int, w: int, pos, xp=jnp):
+    """Multi-level base-2 Hilbert curve rank with rotation-state tables.
+
+    Port of the reference semantics (``point_utils.py:285-349``); same return
+    convention as :func:`calculate_peano_order`.
+    """
+    final_order = hilbert_order_values(h, w, pos, xp=xp)
     order_index = _argsort(final_order, 1, xp)
     rank = _inverse_permutation(order_index, 1, xp)
     return rank, order_index
