@@ -1,0 +1,279 @@
+"""AutoFocusFormer: 4-stage off-grid vision backbone (Flax linen).
+
+Re-design of reference ``models/aff_transformer.py:368-670`` with static
+shapes end-to-end: per-stage token counts, cluster counts, neighborhood
+sizes, keep/reserve counts are all Python-level constants for a given
+``(config, img_size)``, so the whole forward pass jits into one XLA program.
+Stage-1 clustering (tokens on the regular grid) is precomputed on the host
+and enters the program as constants (reference caches it as module state,
+``aff_transformer.py:461-468``).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.clusten import gather_neighbors
+from ..ops.knn import knn
+from ..ops.sfc import grid_cluster, space_filling_cluster
+from .layers import (
+    ClusterMerging,
+    ClusterTransformerBlock,
+    PatchEmbed,
+    _layer_norm_fp32,
+    build_pe_table,
+    trunc_normal_init,
+)
+
+Dtype = Any
+
+
+class BasicLayer(nn.Module):
+    """One AFF stage: cluster -> local/global attention blocks -> merge.
+
+    Reference ``aff_transformer.py:368-508``.
+    """
+
+    dim: int
+    out_dim: Optional[int]
+    cluster_size: int
+    nbhd_size: int
+    depth: int
+    num_heads: int
+    mlp_ratio: float
+    alpha: float = 4.0
+    ds_rate: float = 0.25
+    reserve_on: bool = True
+    drop: float = 0.0
+    attn_drop: float = 0.0
+    drop_path: Sequence[float] = ()
+    layer_scale: float = 0.0
+    rel_pos_width: int = 55
+    table_width: int = 111
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        pos: jax.Array,  # b x n x 2
+        feat: jax.Array,  # b x n x c
+        h: int,
+        w: int,
+        on_grid: bool,
+        stride: int,
+        pe_table: jax.Array,
+        deterministic: bool = True,
+    ) -> Tuple[jax.Array, jax.Array]:
+        b, n, d = pos.shape
+        c = feat.shape[2]
+        assert self.cluster_size > 0, "cluster_size must be positive"
+        R = self.rel_pos_width
+        tw = self.table_width
+
+        if self.nbhd_size >= n:
+            global_attn = True
+            member_idx, cluster_mask = None, None
+            nbhd_size = n
+        else:
+            global_attn = False
+            k = int(math.ceil(n / float(self.cluster_size)))
+            nnc = min(int(round(self.nbhd_size / float(self.cluster_size))), k)
+            nbhd_size = self.cluster_size * nnc
+
+        if global_attn:
+            rel_pos = (pos[:, None, :, :] + R) - pos[:, :, None, :]  # b n n 2
+        else:
+            m = self.cluster_size
+            if k == n:
+                # degenerate: every token its own cluster (only when
+                # cluster_size == 1); neighborhood = nnc nearest tokens.
+                # The reference's code path for this case is unreachable in
+                # its configs (aff_transformer.py:454-458).
+                m = 1
+                nbhd_size = nnc
+                cluster_mean_pos = pos
+                member_idx = jnp.broadcast_to(
+                    jnp.arange(n, dtype=jnp.int32).reshape(1, n, 1), (b, n, 1)
+                )
+                cluster_mask = None
+            elif on_grid:
+                # host-precomputed constants for the regular grid
+                g_pos, g_mean, g_member, g_mask, g_reorder = grid_cluster(h, w, m)
+                reorder = jnp.asarray(g_reorder, dtype=jnp.int32)
+                feat = jnp.take_along_axis(feat, reorder[None, :, None], axis=1)
+                pos = jnp.broadcast_to(jnp.asarray(g_pos)[None], (b, n, d))
+                cluster_mean_pos = jnp.broadcast_to(
+                    jnp.asarray(g_mean)[None], (b,) + g_mean.shape
+                )
+                member_idx = jnp.broadcast_to(
+                    jnp.asarray(g_member, dtype=jnp.int32)[None],
+                    (b,) + g_member.shape,
+                )
+                cluster_mask = (
+                    None
+                    if g_mask is None
+                    else jnp.broadcast_to(
+                        jnp.asarray(g_mask)[None], (b,) + g_mask.shape
+                    )
+                )
+            else:
+                pos, cluster_mean_pos, member_idx, cluster_mask, reorder = (
+                    space_filling_cluster(pos, m, h, w)
+                )
+                member_idx = member_idx.astype(jnp.int32)
+                feat = jnp.take_along_axis(feat, reorder, axis=1)
+
+            assert member_idx.shape[1] == k and member_idx.shape[2] == m, (
+                "member_idx shape incorrect"
+            )
+
+            nearest_cluster = knn(pos, cluster_mean_pos, nnc)  # b n nnc
+            # expand cluster members into per-token neighbor lists
+            member_idx = jnp.take_along_axis(
+                member_idx, nearest_cluster.reshape(b, -1, 1), axis=1
+            ).reshape(b, n, nbhd_size)
+            if cluster_mask is not None:
+                cluster_mask = jnp.take_along_axis(
+                    cluster_mask, nearest_cluster.reshape(b, -1, 1), axis=1
+                ).reshape(b, n, nbhd_size)
+
+            pos_gathered = gather_neighbors(pos, member_idx)  # b n m 2
+            rel_pos = pos_gathered - (pos[:, :, None, :] - R)
+
+        pe_idx = (rel_pos[..., 1] * tw + rel_pos[..., 0]).astype(jnp.int32)
+
+        for i_blk in range(self.depth):
+            dp = (
+                self.drop_path[i_blk]
+                if isinstance(self.drop_path, (list, tuple))
+                else self.drop_path
+            )
+            feat = ClusterTransformerBlock(
+                dim=self.dim,
+                num_heads=self.num_heads,
+                mlp_ratio=self.mlp_ratio,
+                drop=self.drop,
+                attn_drop=self.attn_drop,
+                drop_path=dp,
+                layer_scale=self.layer_scale,
+                dtype=self.dtype,
+                name=f"blocks_{i_blk}",
+            )(feat, member_idx, cluster_mask, pe_idx, global_attn, pe_table,
+              deterministic)
+
+        if self.out_dim is not None:
+            if member_idx is None:
+                # global-attention stage followed by a downsampler: the whole
+                # token set is the neighborhood (pe_idx is already b x n x n).
+                # The reference crashes on this combination
+                # (aff_transformer.py:334 with member_idx=None); its configs
+                # never hit it, ours supports it.
+                member_idx = jnp.broadcast_to(
+                    jnp.arange(n, dtype=jnp.int32)[None, None, :], (b, n, n)
+                )
+            learned_prob = jax.nn.sigmoid(
+                nn.Dense(
+                    1, dtype=self.dtype, kernel_init=trunc_normal_init(),
+                    name="prob_net",
+                )(feat)
+            )
+            reserve_num = math.ceil(h / (stride * 2)) * math.ceil(w / (stride * 2))
+            pos, feat = ClusterMerging(
+                dim=self.dim,
+                out_dim=self.out_dim,
+                alpha=self.alpha,
+                ds_rate=self.ds_rate,
+                reserve_on=self.reserve_on,
+                dtype=self.dtype,
+                name="downsample",
+            )(pos, feat, member_idx, cluster_mask, learned_prob, stride,
+              pe_idx, reserve_num, pe_table)
+
+        return pos, feat
+
+
+class AutoFocusFormer(nn.Module):
+    """The AFF classifier (reference ``aff_transformer.py:556-670``)."""
+
+    num_classes: int = 1000
+    embed_dim: Sequence[int] = (32, 128, 256, 512)
+    cluster_size: int = 8
+    nbhd_size: Sequence[int] = (48, 48, 48, 49)
+    alpha: float = 4.0
+    ds_rate: float = 0.25
+    reserve_on: bool = True
+    depths: Sequence[int] = (2, 2, 6, 2)
+    num_heads: Sequence[int] = (3, 6, 12, 24)
+    mlp_ratio: float = 2.0
+    drop_rate: float = 0.0
+    attn_drop_rate: float = 0.0
+    drop_path_rate: float = 0.1
+    patch_norm: bool = True
+    layer_scale: float = 0.0
+    img_size: int = 224
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self, x: jax.Array, training: bool = False
+    ) -> jax.Array:
+        """x: b x H x W x 3 (NHWC) -> logits b x num_classes."""
+        num_layers = len(self.depths)
+        R, tw, pe_np = build_pe_table(self.img_size)
+        pe_table = jnp.asarray(pe_np)
+
+        pos, feat, h, w = PatchEmbed(
+            embed_dim=self.embed_dim[0],
+            use_norm=self.patch_norm,
+            dtype=self.dtype,
+            name="patch_embed",
+        )(x, training=training)
+        feat = nn.Dropout(self.drop_rate)(feat, deterministic=not training)
+
+        dpr = np.linspace(0, self.drop_path_rate, sum(self.depths)).tolist()
+
+        for i_layer in range(num_layers):
+            sl = slice(
+                sum(self.depths[:i_layer]), sum(self.depths[: i_layer + 1])
+            )
+            pos, feat = BasicLayer(
+                dim=int(self.embed_dim[i_layer]),
+                out_dim=(
+                    int(self.embed_dim[i_layer + 1])
+                    if i_layer < num_layers - 1
+                    else None
+                ),
+                cluster_size=self.cluster_size,
+                nbhd_size=self.nbhd_size[i_layer],
+                depth=self.depths[i_layer],
+                num_heads=self.num_heads[i_layer],
+                mlp_ratio=self.mlp_ratio,
+                alpha=self.alpha,
+                ds_rate=self.ds_rate,
+                reserve_on=self.reserve_on,
+                drop=self.drop_rate,
+                attn_drop=self.attn_drop_rate,
+                drop_path=tuple(dpr[sl]),
+                layer_scale=self.layer_scale,
+                rel_pos_width=R,
+                table_width=tw,
+                dtype=self.dtype,
+                name=f"layers_{i_layer}",
+            )(pos, feat, h=h, w=w, on_grid=i_layer == 0,
+              stride=2 ** (i_layer + 1), pe_table=pe_table,
+              deterministic=not training)
+
+        feat = _layer_norm_fp32(nn.LayerNorm(dtype=jnp.float32, name="norm"), feat)
+        feat = feat.mean(axis=1)
+        if self.num_classes > 0:
+            feat = nn.Dense(
+                self.num_classes, dtype=self.dtype,
+                kernel_init=trunc_normal_init(), name="head",
+            )(feat)
+        return feat

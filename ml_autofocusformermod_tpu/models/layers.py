@@ -1,0 +1,437 @@
+"""Core AFF building blocks (Flax linen), mirroring reference semantics.
+
+Module/parameter names deliberately track the reference torch module tree
+(``/root/reference/models/aff_transformer.py``) so the ``.pth`` checkpoint
+importer (:mod:`..ckpt.pth_import`) is a near-identity name map.
+
+Numerical conventions preserved for logit parity:
+* padding mask adds ``(1-mask) * (-100)`` (not -inf) — ``aff_transformer.py:137``
+* a learned "blank" K/V token is appended as an extra softmax slot and peeled
+  off after — ``aff_transformer.py:139-147``
+* LayerNorm runs in float32 even when the compute dtype is bfloat16 (matches
+  torch AMP autocast behavior the reference trains with)
+* the relative-position lookup table rows are ``(dx, dy, dist, sin, cos)``
+  with NaN/Inf zeroed at the center — ``aff_transformer.py:14-32``
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.clusten import clusten_av, clusten_qk, clusten_wf
+from ..ops.knn import knn
+
+Dtype = Any
+
+POS_DIM = 2
+
+
+@functools.lru_cache(maxsize=None)
+def build_pe_table(img_size: int) -> Tuple[int, int, np.ndarray]:
+    """Relative-position lookup table (reference ``aff_transformer.py:14-32``).
+
+    Returns ``(rel_pos_width, table_width, table)`` with ``table`` of shape
+    ``(table_width**2, 5)``: rows are ``(dx, dy, dist, sin, cos)`` for all
+    integer offsets in ``[-R, R]^2``, ``R = img_size // 4 - 1``.
+    """
+    rel_pos_width = img_size // 4 - 1
+    table_width = 2 * rel_pos_width + 1
+    delta = np.arange(table_width, dtype=np.float32) - rel_pos_width
+    ys, xs = np.meshgrid(delta, delta, indexing="ij")
+    with np.errstate(divide="ignore", invalid="ignore"):
+        dist = np.sqrt(ys**2 + xs**2)
+        sin = ys / dist
+        cos = xs / dist
+    table = np.stack([xs, ys, dist, sin, cos], axis=2)
+    table[~np.isfinite(table)] = 0.0
+    return rel_pos_width, table_width, table.reshape(-1, 5)
+
+
+def _layer_norm_fp32(norm: nn.LayerNorm, x: jax.Array) -> jax.Array:
+    """Apply LayerNorm in float32, return in the input dtype."""
+    return norm(x.astype(jnp.float32)).astype(x.dtype)
+
+
+class DropPath(nn.Module):
+    """Per-sample stochastic depth (timm ``DropPath`` semantics)."""
+
+    rate: float = 0.0
+
+    @nn.compact
+    def __call__(self, x: jax.Array, deterministic: bool) -> jax.Array:
+        if self.rate == 0.0 or deterministic:
+            return x
+        keep = 1.0 - self.rate
+        rng = self.make_rng("dropout")
+        shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+        mask = jax.random.bernoulli(rng, keep, shape)
+        return jnp.where(mask, x / keep, 0.0).astype(x.dtype)
+
+
+def trunc_normal_init(std: float = 0.02):
+    return nn.initializers.truncated_normal(stddev=std, lower=-2.0, upper=2.0)
+
+
+class Mlp(nn.Module):
+    """fc -> GELU -> drop -> fc -> drop (reference ``aff_transformer.py:35-51``)."""
+
+    hidden_features: int
+    out_features: int
+    drop: float = 0.0
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
+        x = nn.Dense(
+            self.hidden_features, dtype=self.dtype,
+            kernel_init=trunc_normal_init(), name="fc1",
+        )(x)
+        x = nn.gelu(x, approximate=False)
+        x = nn.Dropout(self.drop)(x, deterministic=deterministic)
+        x = nn.Dense(
+            self.out_features, dtype=self.dtype,
+            kernel_init=trunc_normal_init(), name="fc2",
+        )(x)
+        x = nn.Dropout(self.drop)(x, deterministic=deterministic)
+        return x
+
+
+class ClusterAttention(nn.Module):
+    """Local attention over gathered neighborhoods (``aff_transformer.py:54-163``).
+
+    In global mode attends densely over all tokens. In local mode attention is
+    computed against each token's ``member_idx`` neighborhood via the CLUSTEN
+    ops. A learned per-head relative-position bias is looked up from the
+    precomputed table, padding slots are masked with -100, and a learned blank
+    K/V token provides a softmax sink.
+    """
+
+    dim: int
+    num_heads: int
+    attn_drop: float = 0.0
+    proj_drop: float = 0.0
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        feat: jax.Array,  # b x n x c
+        member_idx: Optional[jax.Array],  # b x n x m (None if global)
+        cluster_mask: Optional[jax.Array],  # b x n x m (1 = valid)
+        pe_idx: jax.Array,  # b x n x m (or b x n x n if global)
+        global_attn: bool,
+        pe_table: jax.Array,  # tw*tw x 5 constant
+        deterministic: bool = True,
+    ) -> jax.Array:
+        b, n, c = feat.shape
+        h = self.num_heads
+        c_ = c // h
+        scale = c_**-0.5
+
+        q = nn.Dense(
+            c, dtype=self.dtype, kernel_init=trunc_normal_init(), name="q"
+        )(feat)
+        q = q * scale
+        kv = nn.Dense(
+            2 * c, dtype=self.dtype, kernel_init=trunc_normal_init(), name="kv"
+        )(feat)
+
+        q = q.reshape(b, n, h, c_).transpose(0, 2, 1, 3)  # b h n c_
+        kv = kv.reshape(b, n, h, 2, c_).transpose(3, 0, 2, 1, 4)
+        key, v = kv[0], kv[1]  # b h n c_
+
+        if global_attn:
+            attn = jnp.einsum(
+                "bhic,bhjc->bhij", q, key, preferred_element_type=self.dtype
+            )
+            mask = None
+        else:
+            attn = clusten_qk(q, key, member_idx)  # b h n m
+            mask = cluster_mask
+            if mask is not None:
+                mask = mask.reshape(b, 1, n, member_idx.shape[-1])
+
+        # learned per-head relative position bias, looked up by pe_idx
+        pos_embed = nn.Dense(
+            h, dtype=self.dtype, kernel_init=trunc_normal_init(), name="pos_embed"
+        )
+        pe_proj = pos_embed(pe_table.astype(self.dtype))  # tw*tw x h
+        bias = jnp.take(pe_proj, pe_idx.reshape(b, -1), axis=0)
+        bias = bias.reshape(*pe_idx.shape, h).transpose(0, 3, 1, 2)  # b h n m
+        attn = attn + bias
+
+        if mask is not None:
+            attn = attn + (1 - mask.astype(attn.dtype)) * (-100.0)
+
+        blank_k = self.param("blank_k", nn.initializers.normal(1.0), (c,))
+        blank_v = self.param("blank_v", nn.initializers.normal(1.0), (c,))
+        blank_attn = (
+            q * blank_k.astype(q.dtype).reshape(1, h, 1, c_)
+        ).sum(-1, keepdims=True)  # b h n 1
+        attn = jnp.concatenate([attn, blank_attn], axis=-1)
+        attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(self.dtype)
+        attn = nn.Dropout(self.attn_drop)(attn, deterministic=deterministic)
+
+        blank_w = attn[..., -1:]
+        attn = attn[..., :-1]
+        blank_out = blank_w * blank_v.astype(attn.dtype).reshape(1, h, 1, c_)
+
+        if global_attn:
+            out = jnp.einsum(
+                "bhij,bhjc->bhic", attn, v, preferred_element_type=self.dtype
+            )
+        else:
+            out = clusten_av(attn, v, member_idx)
+        out = (out + blank_out).transpose(0, 2, 1, 3).reshape(b, n, c)
+
+        out = nn.Dense(
+            c, dtype=self.dtype, kernel_init=trunc_normal_init(), name="proj"
+        )(out)
+        out = nn.Dropout(self.proj_drop)(out, deterministic=deterministic)
+        return out
+
+
+class ClusterTransformerBlock(nn.Module):
+    """Pre-LN attention + MLP residual block (``aff_transformer.py:166-243``)."""
+
+    dim: int
+    num_heads: int
+    mlp_ratio: float = 2.0
+    drop: float = 0.0
+    attn_drop: float = 0.0
+    drop_path: float = 0.0
+    layer_scale: float = 0.0
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        feat: jax.Array,
+        member_idx: Optional[jax.Array],
+        cluster_mask: Optional[jax.Array],
+        pe_idx: jax.Array,
+        global_attn: bool,
+        pe_table: jax.Array,
+        deterministic: bool = True,
+    ) -> jax.Array:
+        shortcut = feat
+        x = _layer_norm_fp32(nn.LayerNorm(dtype=jnp.float32, name="norm1"), feat)
+        x = ClusterAttention(
+            dim=self.dim,
+            num_heads=self.num_heads,
+            attn_drop=self.attn_drop,
+            proj_drop=self.drop,
+            dtype=self.dtype,
+            name="attn",
+        )(x, member_idx, cluster_mask, pe_idx, global_attn, pe_table, deterministic)
+
+        drop_path = DropPath(self.drop_path, name="drop_path")
+        norm2 = nn.LayerNorm(dtype=jnp.float32, name="norm2")
+        mlp = Mlp(
+            hidden_features=int(self.dim * self.mlp_ratio),
+            out_features=self.dim,
+            drop=self.drop,
+            dtype=self.dtype,
+            name="mlp",
+        )
+
+        use_layer_scale = (
+            self.layer_scale is not None
+            and isinstance(self.layer_scale, (int, float))
+            and self.layer_scale > 0
+        )
+        if use_layer_scale:
+            gamma1 = self.param(
+                "gamma1",
+                nn.initializers.constant(self.layer_scale),
+                (self.dim,),
+            )
+            gamma2 = self.param(
+                "gamma2",
+                nn.initializers.constant(self.layer_scale),
+                (self.dim,),
+            )
+            feat = shortcut + drop_path(gamma1.astype(x.dtype) * x, deterministic)
+            y = mlp(_layer_norm_fp32(norm2, feat), deterministic)
+            feat = feat + drop_path(gamma2.astype(y.dtype) * y, deterministic)
+        else:
+            feat = shortcut + drop_path(x, deterministic)
+            y = mlp(_layer_norm_fp32(norm2, feat), deterministic)
+            feat = feat + drop_path(y, deterministic)
+        return feat
+
+
+class ClusterMerging(nn.Module):
+    """Adaptive downsampling (``aff_transformer.py:246-365``).
+
+    Selects ``keep_num = int(n * ds_rate)`` merge centers per image:
+    a grid prior (stride-2 lattice at stage 1, adaptive elsewhere) plus
+    ``alpha *`` detached learned importance, with coarse-grid reserve tokens
+    forced in; then merges each center's neighborhood by PointConv
+    (weight_net over the pe table, x importance, x mask) via CLUSTEN-WF.
+    """
+
+    dim: int
+    out_dim: int
+    alpha: float = 4.0
+    ds_rate: float = 0.25
+    reserve_on: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        pos: jax.Array,  # b x n x 2
+        feat: jax.Array,  # b x n x c
+        member_idx: jax.Array,  # b x n x m
+        cluster_mask: Optional[jax.Array],  # b x n x m
+        learned_prob: Optional[jax.Array],  # b x n x 1
+        stride: int,
+        pe_idx: jax.Array,  # b x n x m
+        reserve_num: int,
+        pe_table: jax.Array,
+    ) -> Tuple[jax.Array, jax.Array]:
+        b, n, c = feat.shape
+        d = pos.shape[2]
+        keep_num = int(n * self.ds_rate)
+
+        # --- grid prior (aff_transformer.py:295-301) ---
+        if stride == 2:
+            grid_prob = ((pos % stride).sum(-1) == 0).astype(jnp.float32)
+        else:
+            _, min_dist = knn(pos, pos, 2, return_dist=True)
+            min_dist = min_dist[:, :, 1]
+            ada_stride = 2.0 ** (jnp.ceil(jnp.log2(min_dist)) + 1)  # b x n
+            grid_prob = (
+                (pos.astype(jnp.int32) % ada_stride[..., None].astype(jnp.int32))
+                .sum(-1)
+                == 0
+            ).astype(jnp.float32)
+
+        final_prob = grid_prob
+
+        # --- learned importance, detached for selection (.:306-309) ---
+        if learned_prob is not None:
+            lp_detached = jax.lax.stop_gradient(learned_prob).reshape(b, n)
+            final_prob = final_prob + lp_detached.astype(jnp.float32) * self.alpha
+
+        # --- reserve tokens on a coarse grid (.:311-317) ---
+        if self.reserve_on:
+            reserve_mask = ((pos % (stride * 2)).sum(-1) == 0).astype(jnp.float32)
+            final_prob = final_prob + reserve_mask * (-100.0)
+            sample_num = keep_num - reserve_num
+        else:
+            sample_num = keep_num
+
+        # --- top-k merge centers; reserve indices appended (.:320-326) ---
+        _, sample_idx = jax.lax.top_k(final_prob, sample_num)  # b x n_
+        if self.reserve_on:
+            # exactly reserve_num tokens have reserve_mask == 1 (the coarse
+            # grid survives every previous downsampling round by
+            # construction); top_k on the mask lists them in index order,
+            # matching the reference's nonzero() extraction (.:323)
+            _, reserve_idx = jax.lax.top_k(reserve_mask, reserve_num)
+            idx = jnp.concatenate([sample_idx, reserve_idx], axis=-1)
+        else:
+            idx = sample_idx
+        idx = idx[..., None]  # b x keep_num x 1
+
+        assert idx.shape[1] == keep_num, "selected count != keep_num"
+
+        # --- gather pos / nbhd / pe / mask for the selected centers ---
+        nbhd_size = member_idx.shape[-1]
+        new_pos = jnp.take_along_axis(pos, idx, axis=1)
+        sel_member_idx = jnp.take_along_axis(
+            member_idx, jnp.broadcast_to(idx, (b, keep_num, nbhd_size)), axis=1
+        )
+        sel_pe_idx = jnp.take_along_axis(
+            pe_idx, jnp.broadcast_to(idx, (b, keep_num, nbhd_size)), axis=1
+        )
+        if cluster_mask is not None:
+            sel_mask = jnp.take_along_axis(
+                cluster_mask,
+                jnp.broadcast_to(idx, (b, keep_num, nbhd_size)),
+                axis=1,
+            )
+        else:
+            sel_mask = None
+        if learned_prob is not None:
+            # NOT detached here: pointconv weights carry the gradient (.:340)
+            lp = jnp.take_along_axis(
+                learned_prob, sel_member_idx.reshape(b, -1, 1), axis=1
+            ).reshape(b, keep_num, nbhd_size, 1)
+
+        # --- pointconv weights from the pe table (.:343-358) ---
+        weight_net_dense = nn.Dense(
+            4, dtype=self.dtype, kernel_init=trunc_normal_init(),
+            name="weight_net_fc",
+        )
+        weight_net_norm = nn.LayerNorm(dtype=jnp.float32, name="weight_net_norm")
+        wt = weight_net_dense(pe_table.astype(self.dtype))
+        wt = nn.gelu(
+            _layer_norm_fp32(weight_net_norm, wt), approximate=False
+        )  # tw*tw x 4
+        inner_ch = wt.shape[-1]
+        weights = jnp.take(wt, sel_pe_idx.reshape(b, -1), axis=0)
+        weights = weights.reshape(b, keep_num, nbhd_size, inner_ch)
+
+        if learned_prob is not None:
+            if sel_mask is not None:
+                lp = lp * sel_mask[..., None].astype(lp.dtype)
+            weights = weights * lp.astype(weights.dtype)
+        elif sel_mask is not None:
+            weights = weights * sel_mask[..., None].astype(weights.dtype)
+
+        # --- merge (CLUSTEN-WF), norm, project (.:361-363) ---
+        merged = clusten_wf(weights, feat, sel_member_idx)  # b n' ic c
+        merged = merged.reshape(b, keep_num, inner_ch * c)
+        merged = _layer_norm_fp32(nn.LayerNorm(dtype=jnp.float32, name="norm"), merged)
+        merged = nn.Dense(
+            self.out_dim, dtype=self.dtype, kernel_init=trunc_normal_init(),
+            name="linear",
+        )(merged)
+        return new_pos, merged
+
+
+class PatchEmbed(nn.Module):
+    """Stride-4 conv patch embedding emitting features + integer grid positions
+    (``aff_transformer.py:511-553``). Input/output layout is NHWC (TPU-native).
+    """
+
+    embed_dim: int = 32
+    use_norm: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self, x: jax.Array, training: bool = False
+    ) -> Tuple[jax.Array, jax.Array, int, int]:
+        # x: b x H x W x 3
+        x = nn.Conv(
+            self.embed_dim // 2, (3, 3), strides=(2, 2), padding=1,
+            dtype=self.dtype, name="proj1",
+        )(x)
+        x = nn.BatchNorm(
+            use_running_average=not training, momentum=0.9, epsilon=1e-5,
+            dtype=jnp.float32, name="bn",
+        )(x)
+        x = nn.gelu(x, approximate=False)
+        x = nn.Conv(
+            self.embed_dim, (3, 3), strides=(2, 2), padding=1,
+            dtype=self.dtype, name="proj2",
+        )(x)
+        b, h, w, c = x.shape
+        feat = x.reshape(b, h * w, c)
+        if self.use_norm:
+            feat = _layer_norm_fp32(nn.LayerNorm(dtype=jnp.float32, name="norm"), feat)
+
+        ys, xs = jnp.meshgrid(jnp.arange(h), jnp.arange(w), indexing="ij")
+        pos = jnp.stack([xs, ys], axis=2).reshape(1, h * w, 2)
+        pos = jnp.broadcast_to(pos, (b, h * w, 2)).astype(jnp.float32)
+        return pos, feat, h, w
