@@ -1,0 +1,53 @@
+"""Model factory: config -> Flax module (reference ``models/build.py:16-165``)."""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from .aff import AutoFocusFormer
+
+_DTYPES = {
+    "float32": jnp.float32,
+    "bfloat16": jnp.bfloat16,
+    "float16": jnp.float16,
+}
+
+
+def build_model(config):
+    """Instantiate the model named by ``config.MODEL.TYPE``.
+
+    ``aff`` -> :class:`AutoFocusFormer`; ``maskfinerOT`` / ``maskfinerUD`` ->
+    the MaskFiner wrappers (reference ``models/build.py:35-161``).
+    """
+    model_type = config.MODEL.TYPE
+    dtype = _DTYPES[config.TPU.COMPUTE_DTYPE]
+
+    if model_type == "aff":
+        aff = config.MODEL.AFF
+        return AutoFocusFormer(
+            num_classes=config.MODEL.NUM_CLASSES,
+            embed_dim=tuple(aff.EMBED_DIM),
+            cluster_size=aff.CLUSTER_SIZE,
+            nbhd_size=tuple(aff.NBHD_SIZE),
+            alpha=aff.ALPHA,
+            ds_rate=aff.DS_RATE,
+            reserve_on=aff.RESERVE,
+            depths=tuple(aff.DEPTHS),
+            num_heads=tuple(aff.NUM_HEADS),
+            mlp_ratio=aff.MLP_RATIO,
+            drop_rate=config.MODEL.DROP_RATE,
+            drop_path_rate=config.MODEL.DROP_PATH_RATE,
+            patch_norm=aff.PATCH_NORM,
+            layer_scale=aff.LAYER_SCALE,
+            img_size=config.DATA.IMG_SIZE,
+            dtype=dtype,
+        )
+    if model_type == "maskfinerOT":
+        from .maskfiner_ot import build_oracle_teacher
+
+        return build_oracle_teacher(config, dtype)
+    if model_type == "maskfinerUD":
+        from .maskfiner_ud import build_up_down
+
+        return build_up_down(config, dtype)
+    raise NotImplementedError(f"Unknown model type: {model_type}")
