@@ -269,7 +269,7 @@ class AutoFocusFormer(nn.Module):
               stride=2 ** (i_layer + 1), pe_table=pe_table,
               deterministic=not training)
 
-        feat = _layer_norm_fp32(nn.LayerNorm(dtype=jnp.float32, name="norm"), feat)
+        feat = _layer_norm_fp32(nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm"), feat)
         feat = feat.mean(axis=1)
         if self.num_classes > 0:
             feat = nn.Dense(

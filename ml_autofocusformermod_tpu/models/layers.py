@@ -221,7 +221,7 @@ class ClusterTransformerBlock(nn.Module):
         deterministic: bool = True,
     ) -> jax.Array:
         shortcut = feat
-        x = _layer_norm_fp32(nn.LayerNorm(dtype=jnp.float32, name="norm1"), feat)
+        x = _layer_norm_fp32(nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm1"), feat)
         x = ClusterAttention(
             dim=self.dim,
             num_heads=self.num_heads,
@@ -232,7 +232,7 @@ class ClusterTransformerBlock(nn.Module):
         )(x, member_idx, cluster_mask, pe_idx, global_attn, pe_table, deterministic)
 
         drop_path = DropPath(self.drop_path, name="drop_path")
-        norm2 = nn.LayerNorm(dtype=jnp.float32, name="norm2")
+        norm2 = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm2")
         mlp = Mlp(
             hidden_features=int(self.dim * self.mlp_ratio),
             out_features=self.dim,
@@ -372,7 +372,7 @@ class ClusterMerging(nn.Module):
             4, dtype=self.dtype, kernel_init=trunc_normal_init(),
             name="weight_net_fc",
         )
-        weight_net_norm = nn.LayerNorm(dtype=jnp.float32, name="weight_net_norm")
+        weight_net_norm = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="weight_net_norm")
         wt = weight_net_dense(pe_table.astype(self.dtype))
         wt = nn.gelu(
             _layer_norm_fp32(weight_net_norm, wt), approximate=False
@@ -391,7 +391,7 @@ class ClusterMerging(nn.Module):
         # --- merge (CLUSTEN-WF), norm, project (.:361-363) ---
         merged = clusten_wf(weights, feat, sel_member_idx)  # b n' ic c
         merged = merged.reshape(b, keep_num, inner_ch * c)
-        merged = _layer_norm_fp32(nn.LayerNorm(dtype=jnp.float32, name="norm"), merged)
+        merged = _layer_norm_fp32(nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm"), merged)
         merged = nn.Dense(
             self.out_dim, dtype=self.dtype, kernel_init=trunc_normal_init(),
             name="linear",
@@ -429,7 +429,7 @@ class PatchEmbed(nn.Module):
         b, h, w, c = x.shape
         feat = x.reshape(b, h * w, c)
         if self.use_norm:
-            feat = _layer_norm_fp32(nn.LayerNorm(dtype=jnp.float32, name="norm"), feat)
+            feat = _layer_norm_fp32(nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm"), feat)
 
         ys, xs = jnp.meshgrid(jnp.arange(h), jnp.arange(w), indexing="ij")
         pos = jnp.stack([xs, ys], axis=2).reshape(1, h * w, 2)

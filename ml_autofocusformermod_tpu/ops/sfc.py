@@ -297,10 +297,17 @@ def _anchor_tables(h: int, w: int, k: int, sf_type: str):
 
     prev_means = np.zeros_like(init_means)
     prev_means[1:] = init_means[: nump - 1]
-    prev_means[0] = prev_means[1] - (prev_means[2] - prev_means[1])
     next_means = np.zeros_like(init_means)
     next_means[: nump - 1] = init_means[1:]
-    next_means[-1] = next_means[-2] + (next_means[-2] - next_means[-3])
+    if nump >= 2:
+        # linear extrapolation at the curve ends (point_utils.py:143,146)
+        prev_means[0] = init_means[0] - (init_means[1] - init_means[0])
+        next_means[-1] = init_means[-1] + (init_means[-1] - init_means[-2])
+    else:
+        # single anchor: the reference indexes out of bounds here
+        # (point_utils.py:143); degrade to unit offsets so tiny canvases work
+        prev_means[0] = init_means[0] - 1.0
+        next_means[-1] = init_means[-1] + 1.0
 
     return (
         num_patch_w,
