@@ -1,0 +1,198 @@
+"""Train/eval/throughput engine over a device mesh.
+
+TPU re-design of the reference trainer (``main.py:200-414``):
+
+* one jitted train step: mixup -> forward (bf16) -> soft-CE -> grad ->
+  clip(5.0) -> AdamW -> EMA, with XLA inserting the data-axis gradient
+  all-reduce (replaces DDP hooks + GradScaler; bf16 needs no loss scaling)
+* the reference's per-step host-side NaN/Inf gradient audit
+  (``main.py:270-276``) becomes an in-graph ``grads_finite`` flag
+* eval step returns (loss_sum, top1, top5, count) partial sums; cross-chip
+  averaging is a ``jnp`` reduction instead of explicit NCCL all-reduce
+  (``utils.py:127-131``)
+* throughput mode = 50 warmup + 30 timed forwards, the reference's own FPS
+  metric (``main.py:387-414``)
+"""
+
+from __future__ import annotations
+
+import time
+from functools import partial
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import flax
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..parallel.mesh import batch_sharding, replicated, shard_batch
+from .losses import cross_entropy, mixup_cutmix, soft_target_cross_entropy
+from .optim import build_optimizer
+from .schedulers import build_scheduler
+
+
+@flax.struct.dataclass
+class TrainState:
+    step: jax.Array
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    ema_params: Any = None  # None when EMA disabled
+
+
+def create_train_state(
+    config, model, rng: jax.Array, sample_input: jax.Array,
+    n_steps_per_epoch: int = 1000,
+) -> Tuple[TrainState, optax.GradientTransformation, Callable]:
+    variables = model.init(rng, sample_input, training=False)
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    schedule = build_scheduler(config, n_steps_per_epoch)
+    tx = build_optimizer(config, schedule)
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        batch_stats=batch_stats,
+        opt_state=tx.init(params),
+        ema_params=params if config.TRAIN.USE_EMA else None,
+    )
+    return state, tx, schedule
+
+
+def make_train_step(
+    config, model, tx: optax.GradientTransformation, schedule: Callable
+) -> Callable:
+    """Build the jitted train step: (state, batch, rng) -> (state, metrics)."""
+    num_classes = config.MODEL.NUM_CLASSES
+    smoothing = config.MODEL.LABEL_SMOOTHING
+    mixup_on = config.AUG.MIXUP > 0 or config.AUG.CUTMIX > 0
+    use_ema = config.TRAIN.USE_EMA
+    ema_decay = config.TRAIN.EMA_DECAY
+
+    def loss_fn(params, batch_stats, images, target, rng):
+        outputs, updates = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            images,
+            training=True,
+            mutable=["batch_stats"],
+            rngs={"dropout": rng},
+        )
+        if isinstance(outputs, (list, tuple)):
+            # aux-head models return a list; average the losses (main.py:248-257)
+            losses = [soft_target_cross_entropy(o, target) for o in outputs]
+            loss = sum(losses) / len(losses)
+        else:
+            loss = soft_target_cross_entropy(outputs, target)
+        return loss, updates.get("batch_stats", batch_stats)
+
+    def train_step(state: TrainState, batch, rng):
+        images, labels = batch["image"], batch["label"]
+        rng_mix, rng_drop = jax.random.split(jax.random.fold_in(rng, state.step))
+        if mixup_on:
+            images, target = mixup_cutmix(
+                rng_mix, images, labels, num_classes,
+                mixup_alpha=config.AUG.MIXUP,
+                cutmix_alpha=config.AUG.CUTMIX,
+                prob=config.AUG.MIXUP_PROB,
+                switch_prob=config.AUG.MIXUP_SWITCH_PROB,
+                smoothing=smoothing,
+            )
+        else:
+            from .losses import smooth_one_hot
+
+            target = smooth_one_hot(labels, num_classes, smoothing)
+
+        (loss, new_batch_stats), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params, state.batch_stats, images, target, rng_drop)
+
+        grad_norm = optax.global_norm(grads)
+        grads_finite = jnp.isfinite(grad_norm)
+
+        updates, new_opt_state = tx.update(
+            grads, state.opt_state, state.params
+        )
+        new_params = optax.apply_updates(state.params, updates)
+
+        if use_ema:
+            new_ema = jax.tree_util.tree_map(
+                lambda e, p: e * ema_decay + p * (1.0 - ema_decay),
+                state.ema_params,
+                new_params,
+            )
+        else:
+            new_ema = None
+
+        new_state = TrainState(
+            step=state.step + 1,
+            params=new_params,
+            batch_stats=new_batch_stats,
+            opt_state=new_opt_state,
+            ema_params=new_ema,
+        )
+        metrics = {
+            "loss": loss,
+            "grad_norm": grad_norm,
+            "grads_finite": grads_finite,
+            "lr": schedule(state.step),
+        }
+        return new_state, metrics
+
+    return train_step
+
+
+def make_eval_step(config, model) -> Callable:
+    """(variables, batch) -> dict of partial sums for accuracy/loss meters."""
+    smoothing = 0.0  # validation uses plain CE (main.py:328)
+
+    def eval_step(params, batch_stats, batch):
+        logits = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            batch["image"],
+            training=False,
+        )
+        if isinstance(logits, (list, tuple)):
+            logits = logits[-1]  # main.py:347-357: last output scores
+        labels = batch["label"]
+        loss = cross_entropy(logits, labels, smoothing)
+        top = jnp.argsort(-logits, axis=-1)[:, :5]
+        correct1 = (top[:, 0] == labels).sum()
+        correct5 = (top == labels[:, None]).any(-1).sum()
+        return {
+            "loss_sum": loss * labels.shape[0],
+            "top1": correct1,
+            "top5": correct5,
+            "count": jnp.asarray(labels.shape[0]),
+        }
+
+    return eval_step
+
+
+def jit_for_mesh(fn, mesh, state_like=None, donate_state: bool = True):
+    """jit a (state, batch, ...) step with replicated state and data-sharded
+    batch over the mesh; gradients all-reduce over ICI automatically."""
+    rep = replicated(mesh)
+    data = batch_sharding(mesh)
+
+    def to_shardings(tree, sharding):
+        return jax.tree_util.tree_map(lambda _: sharding, tree)
+
+    return jax.jit(
+        fn,
+        donate_argnums=(0,) if donate_state else (),
+    )
+
+
+def throughput(
+    model, variables, images, warmup: int = 50, iters: int = 30
+) -> float:
+    """Images/sec, reference benchmark semantics (``main.py:387-414``)."""
+    fwd = jax.jit(lambda v, x: model.apply(v, x, training=False))
+    for _ in range(warmup):
+        fwd(variables, images).block_until_ready()
+    t1 = time.time()
+    for _ in range(iters):
+        out = fwd(variables, images)
+    out.block_until_ready()
+    t2 = time.time()
+    return iters * images.shape[0] / (t2 - t1)
