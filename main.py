@@ -1,0 +1,263 @@
+"""Train / evaluate / benchmark CLI — same surface as the reference
+``main.py:38-66``:
+
+    python main.py --cfg <yaml> [--eval] [--throughput] [--resume ckpt]
+        [--batch-size N] [--epochs N] [--blr LR] [--data-path P]
+        [--accumulation-steps N] [--output DIR] [--tag T]
+        [--opts KEY VALUE ...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import datetime
+import json
+import os
+import time
+
+import numpy as np
+
+
+def parse_option():
+    parser = argparse.ArgumentParser(
+        "AutoFocusFormer (TPU) training and evaluation script",
+        add_help=False,
+    )
+    parser.add_argument("--cfg", type=str, required=True, metavar="FILE",
+                        help="path to config file")
+    parser.add_argument("--opts", nargs="+", default=None,
+                        help="Modify config options via 'KEY VALUE' pairs")
+    parser.add_argument("--batch-size", type=int, help="batch size per host")
+    parser.add_argument("--data-path", type=str, help="path to dataset")
+    parser.add_argument("--resume", type=str, help="checkpoint to resume from")
+    parser.add_argument("--accumulation-steps", type=int,
+                        help="gradient accumulation steps")
+    parser.add_argument("--output", default="output", type=str, metavar="PATH")
+    parser.add_argument("--tag", type=str, help="tag of experiment")
+    parser.add_argument("--eval", action="store_true",
+                        help="Perform evaluation only")
+    parser.add_argument("--throughput", action="store_true",
+                        help="Test throughput only")
+    parser.add_argument("--blr", type=float, help="base learning rate")
+    parser.add_argument("--epochs", type=int, help="epochs")
+    parser.add_argument("--local_rank", type=int, default=0)
+    args, _ = parser.parse_known_args()
+    return args
+
+
+def run_all():
+    import jax
+
+    args = parse_option()
+
+    # multi-host init (no-op single-host; replaces NCCL init_process_group,
+    # reference utils.py:134-146)
+    if "JAX_COORDINATOR_ADDRESS" in os.environ:
+        jax.distributed.initialize()
+    host = jax.process_index()
+    num_hosts = jax.process_count()
+
+    from ml_autofocusformermod_tpu.config import get_config
+
+    config = get_config(args)
+
+    # linear LR scaling over the GLOBAL batch (reference main.py:437-449)
+    from ml_autofocusformermod_tpu.train.optim import scale_base_lr
+
+    world_batch = config.DATA.BATCH_SIZE * num_hosts
+    config.defrost()
+    scale_base_lr(config, world_batch)
+    config.freeze()
+
+    os.makedirs(config.OUTPUT, exist_ok=True)
+    from ml_autofocusformermod_tpu.utils.logger import create_logger
+
+    logger = create_logger(config.OUTPUT, dist_rank=host,
+                           name=config.MODEL.NAME)
+    if host == 0:
+        path = os.path.join(config.OUTPUT, "config.json")
+        with open(path, "w") as f:
+            json.dump(config.to_dict(), f, indent=2)
+        logger.info(f"Full config saved to {path}")
+
+    main(config, logger, host, num_hosts)
+
+
+def main(config, logger, host, num_hosts):
+    import jax
+    import jax.numpy as jnp
+
+    from ml_autofocusformermod_tpu.ckpt import orbax_io, pth_import
+    from ml_autofocusformermod_tpu.data.imagenet import build_loaders
+    from ml_autofocusformermod_tpu.models.build import build_model
+    from ml_autofocusformermod_tpu.parallel import mesh as pmesh
+    from ml_autofocusformermod_tpu.train import trainer as T
+    from ml_autofocusformermod_tpu.utils.meters import AverageMeter
+
+    train_loader, val_loader, num_classes = build_loaders(
+        config, host=host, num_hosts=num_hosts
+    )
+    if num_classes != config.MODEL.NUM_CLASSES:
+        config.defrost()
+        config.MODEL.NUM_CLASSES = num_classes
+        config.freeze()
+
+    model = build_model(config)
+    img = config.DATA.IMG_SIZE
+    rng = jax.random.PRNGKey(config.SEED)
+    rng, init_rng = jax.random.split(rng)
+
+    n_steps = max(len(train_loader), 1)
+    state, tx, schedule = T.create_train_state(
+        config, model, init_rng, jnp.zeros((1, img, img, 3)), n_steps
+    )
+    n_params = sum(
+        int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(state.params)
+    )
+    logger.info(f"number of params: {n_params}")
+
+    mesh = pmesh.make_mesh(
+        data=config.TPU.MESH_DATA, model=config.TPU.MESH_MODEL
+    )
+
+    # optional pretrained / resume
+    if config.MODEL.AFF.PRETRAINED or config.MODEL.PRETRAINED:
+        path = config.MODEL.AFF.PRETRAINED or config.MODEL.PRETRAINED
+        sd = pth_import.load_pth_state_dict(path)
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        variables, missing, unexpected = pth_import.import_torch_state_dict(
+            variables, sd
+        )
+        state = state.replace(
+            params=variables["params"], batch_stats=variables["batch_stats"]
+        )
+        logger.info(
+            f"loaded pretrained {path}: {len(missing)} missing, "
+            f"{len(unexpected)} unexpected"
+        )
+
+    start_epoch = config.TRAIN.START_EPOCH
+    max_accuracy = 0.0
+    resume = config.MODEL.RESUME
+    if not resume and config.TRAIN.AUTO_RESUME:
+        resume = orbax_io.auto_resume_helper(config.OUTPUT)
+    if resume:
+        if resume.endswith(".pth"):
+            sd = pth_import.load_pth_state_dict(resume)
+            variables = {
+                "params": state.params, "batch_stats": state.batch_stats
+            }
+            variables, missing, unexpected = pth_import.import_torch_state_dict(
+                variables, sd
+            )
+            state = state.replace(
+                params=variables["params"],
+                batch_stats=variables["batch_stats"],
+            )
+            logger.info(
+                f"=> loaded torch checkpoint {resume} "
+                f"({len(missing)} missing / {len(unexpected)} unexpected)"
+            )
+        else:
+            state, epoch, max_accuracy, rng = orbax_io.load_checkpoint(
+                resume, state
+            )
+            start_epoch = epoch + 1
+            logger.info(f"=> resumed from {resume} (epoch {epoch})")
+
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+
+    if config.THROUGHPUT_MODE:
+        batch = next(iter(val_loader))
+        fps = T.throughput(model, variables, jnp.asarray(batch["image"]))
+        logger.info(f"throughput averaged with 30 times: {fps:.1f} img/s")
+        return
+
+    eval_step = T.make_eval_step(config, model)
+    eval_step = jax.jit(eval_step)
+
+    def validate(variables):
+        meters = {k: AverageMeter() for k in ("loss", "top1", "top5")}
+        for batch in val_loader:
+            sharded = pmesh.shard_batch(mesh, batch) if num_hosts == 1 else batch
+            out = eval_step(
+                variables["params"], variables["batch_stats"], sharded
+            )
+            n = int(out["count"])
+            meters["loss"].update(float(out["loss_sum"]) / n, n)
+            meters["top1"].update(float(out["top1"]) / n * 100, n)
+            meters["top5"].update(float(out["top5"]) / n * 100, n)
+        return (
+            meters["top1"].avg, meters["top5"].avg, meters["loss"].avg
+        )
+
+    if config.EVAL_MODE:
+        acc1, acc5, loss = validate(variables)
+        logger.info(
+            f"Accuracy of the network: {acc1:.1f}% top-1, {acc5:.1f}% top-5"
+        )
+        return
+
+    # training
+    train_step = jax.jit(T.make_train_step(config, model, tx, schedule))
+    logger.info("Start training")
+    start = time.time()
+    for epoch in range(start_epoch, config.TRAIN.EPOCHS):
+        train_loader.set_epoch(epoch)
+        meters = {k: AverageMeter() for k in ("loss", "grad_norm")}
+        t0 = time.time()
+        for idx, batch in enumerate(train_loader):
+            sharded = pmesh.shard_batch(mesh, batch)
+            with mesh:
+                state, metrics = train_step(state, sharded, rng)
+            if idx % config.PRINT_FREQ == 0:
+                loss = float(metrics["loss"])
+                gn = float(metrics["grad_norm"])
+                meters["loss"].update(loss)
+                meters["grad_norm"].update(gn)
+                if not bool(metrics["grads_finite"]):
+                    logger.warning(f"non-finite gradients at step {idx}")
+                lr = float(metrics["lr"])
+                logger.info(
+                    f"Train: [{epoch}/{config.TRAIN.EPOCHS}][{idx}/"
+                    f"{len(train_loader)}] lr {lr:.6f} "
+                    f"loss {meters['loss'].val:.4f} ({meters['loss'].avg:.4f}) "
+                    f"grad_norm {meters['grad_norm'].val:.4f}"
+                )
+        logger.info(
+            f"EPOCH {epoch} training takes "
+            f"{datetime.timedelta(seconds=int(time.time() - t0))}"
+        )
+        if host == 0 and (
+            epoch % config.SAVE_FREQ == 0 or epoch == config.TRAIN.EPOCHS - 1
+        ):
+            orbax_io.save_checkpoint(
+                config.OUTPUT, epoch, state, max_accuracy, rng,
+                keep_every=config.SAVE_FREQ,
+            )
+        if epoch % config.EVAL_FREQ == 0 or epoch == config.TRAIN.EPOCHS - 1:
+            variables = {
+                "params": state.params, "batch_stats": state.batch_stats
+            }
+            acc1, acc5, loss = validate(variables)
+            max_accuracy = max(max_accuracy, acc1)
+            logger.info(
+                f"Accuracy: {acc1:.2f}% top-1 / {acc5:.2f}% top-5 "
+                f"(max {max_accuracy:.2f}%)"
+            )
+            if state.ema_params is not None:
+                ema_vars = {
+                    "params": state.ema_params,
+                    "batch_stats": state.batch_stats,
+                }
+                e1, e5, _ = validate(ema_vars)
+                logger.info(f"EMA Accuracy: {e1:.2f}% / {e5:.2f}%")
+
+    total = time.time() - start
+    logger.info(
+        f"Training time {datetime.timedelta(seconds=int(total))}"
+    )
+
+
+if __name__ == "__main__":
+    run_all()

@@ -1,0 +1,243 @@
+"""ImageFolder datasets + per-host sharded loaders.
+
+Replaces reference ``data/build.py`` (torchvision ImageFolder + timm
+transforms + DistributedSampler): a plain folder scanner + PIL decode with
+torch's worker-pool DataLoader (torch is the only battle-tested CPU loader
+in this image; no CUDA anywhere). Sharding follows the TPU model: each HOST
+loads ``1/num_hosts`` of the data and feeds its local chips; the train
+sampler shards per host with per-epoch shuffling (``DistributedSampler``
+equivalent), the val split strides ``indices[host::num_hosts]`` like the
+reference's ``SubsetRandomSampler`` scheme (``data/samplers.py:11-29``).
+
+When ``DATA.DATA_PATH`` does not exist, a deterministic synthetic dataset is
+substituted so smoke tests and dry runs work anywhere.
+"""
+
+from __future__ import annotations
+
+import os
+import random
+from typing import Iterator, Optional, Tuple
+
+import numpy as np
+
+from .transforms import EvalTransform, TrainTransform
+
+IMG_EXTENSIONS = (".jpg", ".jpeg", ".png", ".bmp", ".webp")
+
+
+class ImageFolderDataset:
+    """<root>/<class_name>/<image> scanner with deterministic class ids."""
+
+    def __init__(self, root: str, transform, seed: int = 0):
+        self.root = root
+        self.transform = transform
+        self.seed = seed
+        classes = sorted(
+            d
+            for d in os.listdir(root)
+            if os.path.isdir(os.path.join(root, d))
+        )
+        self.class_to_idx = {c: i for i, c in enumerate(classes)}
+        self.samples = []
+        for c in classes:
+            cdir = os.path.join(root, c)
+            for fname in sorted(os.listdir(cdir)):
+                if fname.lower().endswith(IMG_EXTENSIONS):
+                    self.samples.append(
+                        (os.path.join(cdir, fname), self.class_to_idx[c])
+                    )
+        self.num_classes = len(classes)
+
+    def __len__(self) -> int:
+        return len(self.samples)
+
+    def __getitem__(self, idx: int):
+        from PIL import Image
+
+        path, label = self.samples[idx]
+        with Image.open(path) as img:
+            rng = random.Random(hash((self.seed, idx, os.getpid())))
+            arr = self.transform(img, rng)
+        return arr.astype(np.float32), np.int32(label)
+
+
+class SyntheticDataset:
+    """Deterministic fake images for smoke tests / dry runs."""
+
+    def __init__(self, img_size: int, num_classes: int, length: int = 1024):
+        self.img_size = img_size
+        self.num_classes = num_classes
+        self.length = length
+
+    def __len__(self) -> int:
+        return self.length
+
+    def __getitem__(self, idx: int):
+        rng = np.random.default_rng(idx)
+        arr = rng.standard_normal(
+            (self.img_size, self.img_size, 3)
+        ).astype(np.float32)
+        return arr, np.int32(idx % self.num_classes)
+
+
+def _host_shard_indices(
+    n: int, host: int, num_hosts: int, shuffle: bool, seed: int, epoch: int
+):
+    """DistributedSampler-equivalent per-host index shard (train) with
+    drop-last padding semantics."""
+    idx = np.arange(n)
+    if shuffle:
+        rng = np.random.default_rng((seed, epoch))
+        idx = rng.permutation(n)
+    per_host = n // num_hosts  # drop_last
+    return idx[host * per_host : (host + 1) * per_host]
+
+
+def build_dataset(config, is_train: bool):
+    split = "train" if is_train else "val"
+    transform = TrainTransform(config) if is_train else EvalTransform(config)
+    root = os.path.join(config.DATA.DATA_PATH, split)
+    if config.DATA.DATASET == "imagenet22k" and is_train:
+        root = config.DATA.DATA_PATH
+    if os.path.isdir(root):
+        ds = ImageFolderDataset(root, transform, seed=config.SEED)
+        if ds.num_classes:
+            return ds, ds.num_classes
+    # fall back to synthetic data (keeps --throughput / smoke paths alive)
+    num_classes = config.MODEL.NUM_CLASSES
+    return (
+        SyntheticDataset(config.DATA.IMG_SIZE, num_classes, length=2048),
+        num_classes,
+    )
+
+
+class Loader:
+    """Epoch-based loader yielding numpy batches {'image', 'label'}."""
+
+    def __init__(
+        self,
+        dataset,
+        batch_size: int,
+        shuffle: bool,
+        host: int = 0,
+        num_hosts: int = 1,
+        seed: int = 0,
+        num_workers: int = 0,
+        drop_last: bool = True,
+        stride_shard: bool = False,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.host = host
+        self.num_hosts = num_hosts
+        self.seed = seed
+        self.num_workers = num_workers
+        self.drop_last = drop_last
+        self.stride_shard = stride_shard
+        self.epoch = 0
+
+    def set_epoch(self, epoch: int) -> None:
+        self.epoch = epoch
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        if self.stride_shard:
+            local = len(range(self.host, n, self.num_hosts))
+        else:
+            local = n // self.num_hosts
+        if self.drop_last:
+            return local // self.batch_size
+        return (local + self.batch_size - 1) // self.batch_size
+
+    def _indices(self) -> np.ndarray:
+        n = len(self.dataset)
+        if self.stride_shard:
+            # val sharding: indices[host::num_hosts] (data/samplers.py:23-26)
+            return np.arange(n)[self.host :: self.num_hosts]
+        return _host_shard_indices(
+            n, self.host, self.num_hosts, self.shuffle, self.seed, self.epoch
+        )
+
+    def __iter__(self) -> Iterator[dict]:
+        indices = self._indices()
+        if self.num_workers > 0:
+            yield from self._iter_workers(indices)
+            return
+        batch_imgs, batch_labels = [], []
+        for i in indices:
+            img, label = self.dataset[int(i)]
+            batch_imgs.append(img)
+            batch_labels.append(label)
+            if len(batch_imgs) == self.batch_size:
+                yield {
+                    "image": np.stack(batch_imgs),
+                    "label": np.asarray(batch_labels, np.int32),
+                }
+                batch_imgs, batch_labels = [], []
+        if batch_imgs and not self.drop_last:
+            yield {
+                "image": np.stack(batch_imgs),
+                "label": np.asarray(batch_labels, np.int32),
+            }
+
+    def _iter_workers(self, indices: np.ndarray) -> Iterator[dict]:
+        """Parallel decode via torch's DataLoader machinery (CPU only)."""
+        import torch
+        from torch.utils.data import DataLoader, Dataset
+
+        outer = self
+
+        class _Wrap(Dataset):
+            def __len__(self):
+                return len(indices)
+
+            def __getitem__(self, i):
+                img, label = outer.dataset[int(indices[i])]
+                return torch.from_numpy(np.ascontiguousarray(img)), int(label)
+
+        dl = DataLoader(
+            _Wrap(),
+            batch_size=self.batch_size,
+            num_workers=self.num_workers,
+            drop_last=self.drop_last,
+            shuffle=False,
+            persistent_workers=False,
+        )
+        for imgs, labels in dl:
+            yield {
+                "image": imgs.numpy(),
+                "label": labels.numpy().astype(np.int32),
+            }
+
+
+def build_loaders(config, host: int = 0, num_hosts: int = 1):
+    """(train_loader, val_loader, num_classes) for this host."""
+    train_ds, num_classes = build_dataset(config, is_train=True)
+    val_ds, _ = build_dataset(config, is_train=False)
+    workers = min(config.DATA.NUM_WORKERS, os.cpu_count() or 1)
+    if isinstance(train_ds, SyntheticDataset):
+        workers = 0
+    train_loader = Loader(
+        train_ds,
+        config.DATA.BATCH_SIZE,
+        shuffle=True,
+        host=host,
+        num_hosts=num_hosts,
+        seed=config.SEED,
+        num_workers=workers,
+        drop_last=True,
+    )
+    val_loader = Loader(
+        val_ds,
+        config.DATA.BATCH_SIZE,
+        shuffle=False,
+        host=host,
+        num_hosts=num_hosts,
+        seed=config.SEED,
+        num_workers=workers,
+        drop_last=False,
+        stride_shard=True,
+    )
+    return train_loader, val_loader, num_classes
