@@ -15,7 +15,16 @@ BATCH = 128
 
 
 def main() -> None:
+    import os
+
     import jax
+
+    # persistent compile cache: first-ever compile of the full model takes
+    # minutes through the remote-compile path; subsequent runs are instant
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     import jax.numpy as jnp
 
     from ml_autofocusformermod_tpu.models.aff import AutoFocusFormer
@@ -37,17 +46,30 @@ def main() -> None:
     )
     variables = model.init(rng, images[:1], training=False)
 
-    fwd = jax.jit(lambda v, x: model.apply(v, x, training=False))
-    fwd(variables, images).block_until_ready()  # compile
-    for _ in range(50):
-        fwd(variables, images)
-    jax.block_until_ready(fwd(variables, images))
+    # Chain CHUNK forwards inside one jit so per-dispatch tunnel latency
+    # cannot pollute the measurement; perturb the input per iteration so XLA
+    # cannot CSE the repeated pure calls. Completion is forced via a scalar
+    # host readback (block_until_ready is unreliable through tunneled PJRT).
+    CHUNK = 10
+
+    @jax.jit
+    def fwd_chain(variables, images):
+        acc = 0.0
+        for i in range(CHUNK):
+            logits = model.apply(
+                variables, images + jnp.float32(i) * 1e-6, training=False
+            )
+            acc = acc + logits.astype(jnp.float32).sum()
+        return acc
+
+    float(fwd_chain(variables, images))  # compile
+    float(fwd_chain(variables, images))  # warm
     t1 = time.time()
-    for _ in range(30):
-        out = fwd(variables, images)
-    out.block_until_ready()
+    reps = 3
+    for _ in range(reps):
+        float(fwd_chain(variables, images))
     t2 = time.time()
-    fps = 30 * BATCH / (t2 - t1)
+    fps = reps * CHUNK * BATCH / (t2 - t1)
 
     print(
         json.dumps(

@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.clusten import gather_neighbors
+from ..ops.cluster_gather import gather_clusters_onehot
 from ..ops.knn import knn
 from ..ops.sfc import grid_cluster, space_filling_cluster
 from .layers import (
@@ -27,7 +27,7 @@ from .layers import (
     ClusterTransformerBlock,
     PatchEmbed,
     _layer_norm_fp32,
-    build_pe_table,
+    rel_pos_features,
     trunc_normal_init,
 )
 
@@ -55,7 +55,7 @@ class BasicLayer(nn.Module):
     drop_path: Sequence[float] = ()
     layer_scale: float = 0.0
     rel_pos_width: int = 55
-    table_width: int = 111
+    use_pallas: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -67,14 +67,12 @@ class BasicLayer(nn.Module):
         w: int,
         on_grid: bool,
         stride: int,
-        pe_table: jax.Array,
         deterministic: bool = True,
     ) -> Tuple[jax.Array, jax.Array]:
         b, n, d = pos.shape
         c = feat.shape[2]
         assert self.cluster_size > 0, "cluster_size must be positive"
         R = self.rel_pos_width
-        tw = self.table_width
 
         if self.nbhd_size >= n:
             global_attn = True
@@ -143,10 +141,20 @@ class BasicLayer(nn.Module):
                     cluster_mask, nearest_cluster.reshape(b, -1, 1), axis=1
                 ).reshape(b, n, nbhd_size)
 
-            pos_gathered = gather_neighbors(pos, member_idx)  # b n m 2
-            rel_pos = pos_gathered - (pos[:, :, None, :] - R)
+            if self.use_pallas:
+                rel_pos = None  # the fused kernel computes bias from pos
+            else:
+                # clusters are contiguous rows after the reorder, so the pos
+                # neighborhood gather rides the MXU (one-hot over clusters)
+                pos_gathered = gather_clusters_onehot(
+                    pos[:, None], nearest_cluster, m
+                )[:, 0]  # b n m 2
+                rel_pos = pos_gathered - (pos[:, :, None, :] - R)
 
-        pe_idx = (rel_pos[..., 1] * tw + rel_pos[..., 0]).astype(jnp.int32)
+        ncc = None if global_attn else nearest_cluster
+        csize = 0 if global_attn else m
+        fused = self.use_pallas and not global_attn
+        pe_feat = None if fused else rel_pos_features(rel_pos, R)
 
         for i_blk in range(self.depth):
             dp = (
@@ -162,16 +170,19 @@ class BasicLayer(nn.Module):
                 attn_drop=self.attn_drop,
                 drop_path=dp,
                 layer_scale=self.layer_scale,
+                use_pallas=self.use_pallas,
+                rel_pos_width=R,
                 dtype=self.dtype,
                 name=f"blocks_{i_blk}",
-            )(feat, member_idx, cluster_mask, pe_idx, global_attn, pe_table,
-              deterministic)
+            )(feat, member_idx, cluster_mask, global_attn, pe_feat,
+              deterministic, nearest_cluster=ncc, cluster_size=csize,
+              pos=pos)
 
         if self.out_dim is not None:
             if member_idx is None:
                 # global-attention stage followed by a downsampler: the whole
-                # token set is the neighborhood (pe_idx is already b x n x n).
-                # The reference crashes on this combination
+                # token set is the neighborhood (pe_feat is already
+                # b x n x n x 5). The reference crashes on this combination
                 # (aff_transformer.py:334 with member_idx=None); its configs
                 # never hit it, ours supports it.
                 member_idx = jnp.broadcast_to(
@@ -190,10 +201,11 @@ class BasicLayer(nn.Module):
                 alpha=self.alpha,
                 ds_rate=self.ds_rate,
                 reserve_on=self.reserve_on,
+                rel_pos_width=R,
                 dtype=self.dtype,
                 name="downsample",
             )(pos, feat, member_idx, cluster_mask, learned_prob, stride,
-              pe_idx, reserve_num, pe_table)
+              reserve_num, nearest_cluster=ncc, cluster_size=csize)
 
         return pos, feat
 
@@ -217,6 +229,7 @@ class AutoFocusFormer(nn.Module):
     patch_norm: bool = True
     layer_scale: float = 0.0
     img_size: int = 224
+    use_pallas: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -225,8 +238,7 @@ class AutoFocusFormer(nn.Module):
     ) -> jax.Array:
         """x: b x H x W x 3 (NHWC) -> logits b x num_classes."""
         num_layers = len(self.depths)
-        R, tw, pe_np = build_pe_table(self.img_size)
-        pe_table = jnp.asarray(pe_np)
+        R = self.img_size // 4 - 1  # aff_transformer.py:20
 
         pos, feat, h, w = PatchEmbed(
             embed_dim=self.embed_dim[0],
@@ -262,12 +274,11 @@ class AutoFocusFormer(nn.Module):
                 drop_path=tuple(dpr[sl]),
                 layer_scale=self.layer_scale,
                 rel_pos_width=R,
-                table_width=tw,
+                use_pallas=self.use_pallas,
                 dtype=self.dtype,
                 name=f"layers_{i_layer}",
             )(pos, feat, h=h, w=w, on_grid=i_layer == 0,
-              stride=2 ** (i_layer + 1), pe_table=pe_table,
-              deterministic=not training)
+              stride=2 ** (i_layer + 1), deterministic=not training)
 
         feat = _layer_norm_fp32(nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm"), feat)
         feat = feat.mean(axis=1)

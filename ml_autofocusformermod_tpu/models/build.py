@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from .aff import AutoFocusFormer
@@ -21,6 +22,7 @@ def build_model(config):
     """
     model_type = config.MODEL.TYPE
     dtype = _DTYPES[config.TPU.COMPUTE_DTYPE]
+    use_pallas = bool(config.TPU.USE_PALLAS) and jax.default_backend() == "tpu"
 
     if model_type == "aff":
         aff = config.MODEL.AFF
@@ -40,6 +42,7 @@ def build_model(config):
             patch_norm=aff.PATCH_NORM,
             layer_scale=aff.LAYER_SCALE,
             img_size=config.DATA.IMG_SIZE,
+            use_pallas=use_pallas,
             dtype=dtype,
         )
     if model_type == "maskfinerOT":

@@ -24,6 +24,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..ops.cluster_gather import gather_clusters_onehot, gather_rows
 from ..ops.clusten import clusten_av, clusten_qk, clusten_wf
 from ..ops.knn import knn
 
@@ -58,6 +59,25 @@ def _layer_norm_fp32(norm: nn.LayerNorm, x: jax.Array) -> jax.Array:
     return norm(x.astype(jnp.float32)).astype(x.dtype)
 
 
+def rel_pos_features(rel_pos: jax.Array, rel_pos_width: int) -> jax.Array:
+    """(dx, dy, dist, sin, cos) computed directly from table-frame coords.
+
+    ``rel_pos`` is ``pos_j - pos_i + R``; values are bit-identical to the
+    reference's precomputed-table rows (``aff_transformer.py:14-32``) since
+    sqrt/divide are correctly-rounded on both sides — on TPU five elementwise
+    values beat gathering from a lookup table, so the table never exists at
+    runtime.
+    """
+    R = rel_pos_width
+    dx = rel_pos[..., 0] - R
+    dy = rel_pos[..., 1] - R
+    dist = jnp.sqrt(dx * dx + dy * dy)
+    safe = jnp.where(dist == 0, 1.0, dist)
+    sin = jnp.where(dist == 0, 0.0, dy / safe)
+    cos = jnp.where(dist == 0, 0.0, dx / safe)
+    return jnp.stack([dx, dy, dist, sin, cos], axis=-1)
+
+
 class DropPath(nn.Module):
     """Per-sample stochastic depth (timm ``DropPath`` semantics)."""
 
@@ -76,6 +96,28 @@ class DropPath(nn.Module):
 
 def trunc_normal_init(std: float = 0.02):
     return nn.initializers.truncated_normal(stddev=std, lower=-2.0, upper=2.0)
+
+
+class AffineHead(nn.Module):
+    """Dense layer whose weights are directly readable (``.kernel``/``.bias``)
+    so the fused Pallas kernel can evaluate the same affine map in-kernel.
+    Parameter layout identical to ``nn.Dense`` (checkpoint-compatible)."""
+
+    in_features: int
+    features: int
+    dtype: Dtype = jnp.float32
+
+    def setup(self):
+        self.kernel = self.param(
+            "kernel", trunc_normal_init(), (self.in_features, self.features)
+        )
+        self.bias = self.param(
+            "bias", nn.initializers.zeros, (self.features,)
+        )
+
+    def __call__(self, x: jax.Array) -> jax.Array:
+        y = x.astype(self.dtype) @ self.kernel.astype(self.dtype)
+        return y + self.bias.astype(self.dtype)
 
 
 class Mlp(nn.Module):
@@ -116,6 +158,9 @@ class ClusterAttention(nn.Module):
     num_heads: int
     attn_drop: float = 0.0
     proj_drop: float = 0.0
+    use_pallas: bool = False
+    rel_pos_width: int = 55
+    clamp_width: int = 0  # MixRes clamps rel coords to the table; 0 = off
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -124,15 +169,27 @@ class ClusterAttention(nn.Module):
         feat: jax.Array,  # b x n x c
         member_idx: Optional[jax.Array],  # b x n x m (None if global)
         cluster_mask: Optional[jax.Array],  # b x n x m (1 = valid)
-        pe_idx: jax.Array,  # b x n x m (or b x n x n if global)
         global_attn: bool,
-        pe_table: jax.Array,  # tw*tw x 5 constant
+        pe_feat: Optional[jax.Array],  # b x n x m x 5 (None on the fused path)
         deterministic: bool = True,
+        nearest_cluster: Optional[jax.Array] = None,  # b x n x nnc
+        cluster_size: int = 0,
+        pos: Optional[jax.Array] = None,  # b x n x 2 (fused path)
     ) -> jax.Array:
         b, n, c = feat.shape
         h = self.num_heads
         c_ = c // h
         scale = c_**-0.5
+
+        # the fused kernel has no attention-prob dropout slot; every
+        # reference config runs attn_drop=0, fall back otherwise
+        fused = (
+            self.use_pallas
+            and not global_attn
+            and nearest_cluster is not None
+            and pos is not None
+            and (self.attn_drop == 0.0 or deterministic)
+        )
 
         q = nn.Dense(
             c, dtype=self.dtype, kernel_init=trunc_normal_init(), name="q"
@@ -146,49 +203,80 @@ class ClusterAttention(nn.Module):
         kv = kv.reshape(b, n, h, 2, c_).transpose(3, 0, 2, 1, 4)
         key, v = kv[0], kv[1]  # b h n c_
 
-        if global_attn:
-            attn = jnp.einsum(
-                "bhic,bhjc->bhij", q, key, preferred_element_type=self.dtype
-            )
-            mask = None
-        else:
-            attn = clusten_qk(q, key, member_idx)  # b h n m
-            mask = cluster_mask
-            if mask is not None:
-                mask = mask.reshape(b, 1, n, member_idx.shape[-1])
-
-        # learned per-head relative position bias, looked up by pe_idx
-        pos_embed = nn.Dense(
-            h, dtype=self.dtype, kernel_init=trunc_normal_init(), name="pos_embed"
-        )
-        pe_proj = pos_embed(pe_table.astype(self.dtype))  # tw*tw x h
-        bias = jnp.take(pe_proj, pe_idx.reshape(b, -1), axis=0)
-        bias = bias.reshape(*pe_idx.shape, h).transpose(0, 3, 1, 2)  # b h n m
-        attn = attn + bias
-
-        if mask is not None:
-            attn = attn + (1 - mask.astype(attn.dtype)) * (-100.0)
+        # learned per-head relative position bias from rel-pos features
+        pos_embed = AffineHead(5, h, dtype=self.dtype, name="pos_embed")
 
         blank_k = self.param("blank_k", nn.initializers.normal(1.0), (c,))
         blank_v = self.param("blank_v", nn.initializers.normal(1.0), (c,))
         blank_attn = (
             q * blank_k.astype(q.dtype).reshape(1, h, 1, c_)
         ).sum(-1, keepdims=True)  # b h n 1
-        attn = jnp.concatenate([attn, blank_attn], axis=-1)
-        attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(self.dtype)
-        attn = nn.Dropout(self.attn_drop)(attn, deterministic=deterministic)
 
-        blank_w = attn[..., -1:]
-        attn = attn[..., :-1]
-        blank_out = blank_w * blank_v.astype(attn.dtype).reshape(1, h, 1, c_)
+        if fused:
+            from ..ops.clusten_pallas import fused_cluster_attention
 
-        if global_attn:
-            out = jnp.einsum(
-                "bhij,bhjc->bhic", attn, v, preferred_element_type=self.dtype
+            out, blank_p = fused_cluster_attention(
+                q, key, v, nearest_cluster, pos,
+                pos_embed.kernel, pos_embed.bias, blank_attn,
+                cluster_size, self.rel_pos_width, self.clamp_width,
             )
+            blank_out = blank_p.astype(out.dtype) * blank_v.astype(
+                out.dtype
+            ).reshape(1, h, 1, c_)
+            out = (out + blank_out).transpose(0, 2, 1, 3).reshape(b, n, c)
         else:
-            out = clusten_av(attn, v, member_idx)
-        out = (out + blank_out).transpose(0, 2, 1, 3).reshape(b, n, c)
+            bias = pos_embed(pe_feat.astype(self.dtype)).transpose(0, 3, 1, 2)
+            if global_attn:
+                attn = jnp.einsum(
+                    "bhic,bhjc->bhij", q, key, preferred_element_type=self.dtype
+                )
+                mask = None
+                key_g = v_g = None
+            else:
+                mask = cluster_mask
+                if nearest_cluster is not None:
+                    # cluster-granularity one-hot gather rides the MXU
+                    key_g = gather_clusters_onehot(
+                        key, nearest_cluster, cluster_size
+                    )
+                    v_g = gather_clusters_onehot(v, nearest_cluster, cluster_size)
+                    attn = jnp.einsum(
+                        "bhic,bhimc->bhim", q, key_g,
+                        preferred_element_type=self.dtype,
+                    )
+                else:
+                    key_g = v_g = None
+                    attn = clusten_qk(q, key, member_idx)  # b h n m
+                if mask is not None:
+                    mask = mask.reshape(b, 1, n, attn.shape[-1])
+
+            attn = attn + bias
+
+            if mask is not None:
+                attn = attn + (1 - mask.astype(attn.dtype)) * (-100.0)
+
+            attn = jnp.concatenate([attn, blank_attn], axis=-1)
+            attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(
+                self.dtype
+            )
+            attn = nn.Dropout(self.attn_drop)(attn, deterministic=deterministic)
+
+            blank_w = attn[..., -1:]
+            attn = attn[..., :-1]
+            blank_out = blank_w * blank_v.astype(attn.dtype).reshape(1, h, 1, c_)
+
+            if global_attn:
+                out = jnp.einsum(
+                    "bhij,bhjc->bhic", attn, v, preferred_element_type=self.dtype
+                )
+            elif v_g is not None:
+                out = jnp.einsum(
+                    "bhim,bhimc->bhic", attn, v_g,
+                    preferred_element_type=self.dtype,
+                )
+            else:
+                out = clusten_av(attn, v, member_idx)
+            out = (out + blank_out).transpose(0, 2, 1, 3).reshape(b, n, c)
 
         out = nn.Dense(
             c, dtype=self.dtype, kernel_init=trunc_normal_init(), name="proj"
@@ -207,6 +295,9 @@ class ClusterTransformerBlock(nn.Module):
     attn_drop: float = 0.0
     drop_path: float = 0.0
     layer_scale: float = 0.0
+    use_pallas: bool = False
+    rel_pos_width: int = 55
+    clamp_width: int = 0
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -215,10 +306,12 @@ class ClusterTransformerBlock(nn.Module):
         feat: jax.Array,
         member_idx: Optional[jax.Array],
         cluster_mask: Optional[jax.Array],
-        pe_idx: jax.Array,
         global_attn: bool,
-        pe_table: jax.Array,
+        pe_feat: Optional[jax.Array],
         deterministic: bool = True,
+        nearest_cluster: Optional[jax.Array] = None,
+        cluster_size: int = 0,
+        pos: Optional[jax.Array] = None,
     ) -> jax.Array:
         shortcut = feat
         x = _layer_norm_fp32(nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm1"), feat)
@@ -227,9 +320,13 @@ class ClusterTransformerBlock(nn.Module):
             num_heads=self.num_heads,
             attn_drop=self.attn_drop,
             proj_drop=self.drop,
+            use_pallas=self.use_pallas,
+            rel_pos_width=self.rel_pos_width,
+            clamp_width=self.clamp_width,
             dtype=self.dtype,
             name="attn",
-        )(x, member_idx, cluster_mask, pe_idx, global_attn, pe_table, deterministic)
+        )(x, member_idx, cluster_mask, global_attn, pe_feat, deterministic,
+          nearest_cluster=nearest_cluster, cluster_size=cluster_size, pos=pos)
 
         drop_path = DropPath(self.drop_path, name="drop_path")
         norm2 = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm2")
@@ -282,6 +379,7 @@ class ClusterMerging(nn.Module):
     alpha: float = 4.0
     ds_rate: float = 0.25
     reserve_on: bool = True
+    rel_pos_width: int = 55
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -293,9 +391,9 @@ class ClusterMerging(nn.Module):
         cluster_mask: Optional[jax.Array],  # b x n x m
         learned_prob: Optional[jax.Array],  # b x n x 1
         stride: int,
-        pe_idx: jax.Array,  # b x n x m
         reserve_num: int,
-        pe_table: jax.Array,
+        nearest_cluster: Optional[jax.Array] = None,  # b x n x nnc
+        cluster_size: int = 0,
     ) -> Tuple[jax.Array, jax.Array]:
         b, n, c = feat.shape
         d = pos.shape[2]
@@ -344,42 +442,56 @@ class ClusterMerging(nn.Module):
 
         assert idx.shape[1] == keep_num, "selected count != keep_num"
 
-        # --- gather pos / nbhd / pe / mask for the selected centers ---
+        # --- gather pos / nbhd / rel-features / mask for selected centers ---
         nbhd_size = member_idx.shape[-1]
+        flat_idx = idx[..., 0]  # b x keep_num
         new_pos = jnp.take_along_axis(pos, idx, axis=1)
-        sel_member_idx = jnp.take_along_axis(
-            member_idx, jnp.broadcast_to(idx, (b, keep_num, nbhd_size)), axis=1
-        )
-        sel_pe_idx = jnp.take_along_axis(
-            pe_idx, jnp.broadcast_to(idx, (b, keep_num, nbhd_size)), axis=1
-        )
+        sel_member_idx = gather_rows(member_idx, flat_idx)
         if cluster_mask is not None:
-            sel_mask = jnp.take_along_axis(
-                cluster_mask,
-                jnp.broadcast_to(idx, (b, keep_num, nbhd_size)),
-                axis=1,
-            )
+            sel_mask = gather_rows(cluster_mask, flat_idx)
         else:
             sel_mask = None
+        sel_ncc = (
+            gather_rows(nearest_cluster, flat_idx)
+            if nearest_cluster is not None
+            else None
+        )
         if learned_prob is not None:
-            # NOT detached here: pointconv weights carry the gradient (.:340)
-            lp = jnp.take_along_axis(
-                learned_prob, sel_member_idx.reshape(b, -1, 1), axis=1
-            ).reshape(b, keep_num, nbhd_size, 1)
+            if sel_ncc is not None:
+                # NOT detached here: pointconv weights carry grad (.:340)
+                lp = gather_clusters_onehot(
+                    learned_prob[:, None], sel_ncc, cluster_size
+                )[:, 0]  # b x n' x m x 1
+            else:
+                lp = jnp.take_along_axis(
+                    learned_prob, sel_member_idx.reshape(b, -1, 1), axis=1
+                ).reshape(b, keep_num, nbhd_size, 1)
 
-        # --- pointconv weights from the pe table (.:343-358) ---
+        # --- rel-pos features at the selected centers (.:336,343-350) ---
+        R = self.rel_pos_width
+        if sel_ncc is not None:
+            pos_g = gather_clusters_onehot(
+                pos[:, None], sel_ncc, cluster_size
+            )[:, 0]  # b n' m 2
+        else:
+            pos_g = gather_rows(
+                pos, sel_member_idx.reshape(b, -1)
+            ).reshape(b, keep_num, nbhd_size, d)
+        sel_rel = rel_pos_features(
+            pos_g - (new_pos[:, :, None, :] - R), R
+        )
+
+        # --- pointconv weights from rel-pos features (.:343-358) ---
         weight_net_dense = nn.Dense(
             4, dtype=self.dtype, kernel_init=trunc_normal_init(),
             name="weight_net_fc",
         )
         weight_net_norm = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="weight_net_norm")
-        wt = weight_net_dense(pe_table.astype(self.dtype))
-        wt = nn.gelu(
+        wt = weight_net_dense(sel_rel.astype(self.dtype))
+        weights = nn.gelu(
             _layer_norm_fp32(weight_net_norm, wt), approximate=False
-        )  # tw*tw x 4
-        inner_ch = wt.shape[-1]
-        weights = jnp.take(wt, sel_pe_idx.reshape(b, -1), axis=0)
-        weights = weights.reshape(b, keep_num, nbhd_size, inner_ch)
+        )  # b x n' x m x 4
+        inner_ch = weights.shape[-1]
 
         if learned_prob is not None:
             if sel_mask is not None:
@@ -389,7 +501,16 @@ class ClusterMerging(nn.Module):
             weights = weights * sel_mask[..., None].astype(weights.dtype)
 
         # --- merge (CLUSTEN-WF), norm, project (.:361-363) ---
-        merged = clusten_wf(weights, feat, sel_member_idx)  # b n' ic c
+        if sel_ncc is not None:
+            feat_g = gather_clusters_onehot(
+                feat[:, None], sel_ncc, cluster_size
+            )[:, 0]  # b x n' x m x c
+            merged = jnp.einsum(
+                "bnmi,bnmc->bnic", weights, feat_g.astype(weights.dtype),
+                preferred_element_type=weights.dtype,
+            )
+        else:
+            merged = clusten_wf(weights, feat, sel_member_idx)  # b n' ic c
         merged = merged.reshape(b, keep_num, inner_ch * c)
         merged = _layer_norm_fp32(nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm"), merged)
         merged = nn.Dense(

@@ -36,18 +36,19 @@ def gather_neighbors(values: jax.Array, nbhd_idx: jax.Array) -> jax.Array:
         ``(b, n_out, m, c)`` or ``(b, h, n_out, m, c)``.
     """
     b, n_out, m = nbhd_idx.shape
+    flat_idx = nbhd_idx.reshape(b, n_out * m)
     if values.ndim == 3:
         c = values.shape[-1]
-        flat = jnp.take_along_axis(
-            values, nbhd_idx.reshape(b, n_out * m, 1), axis=1
-        )
+        # row gather: (1, c) slices instead of elementwise gathers
+        flat = jax.vmap(lambda v, i: v[i])(values, flat_idx)
         return flat.reshape(b, n_out, m, c)
     if values.ndim == 4:
         h, c = values.shape[1], values.shape[-1]
-        flat = jnp.take_along_axis(
-            values, nbhd_idx.reshape(b, 1, n_out * m, 1), axis=2
+        vt = values.transpose(0, 2, 1, 3).reshape(b, values.shape[2], h * c)
+        flat = jax.vmap(lambda v, i: v[i])(vt, flat_idx)
+        return (
+            flat.reshape(b, n_out, m, h, c).transpose(0, 3, 1, 2, 4)
         )
-        return flat.reshape(b, h, n_out, m, c)
     raise ValueError(f"values must be rank 3 or 4, got {values.ndim}")
 
 

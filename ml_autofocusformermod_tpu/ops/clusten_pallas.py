@@ -1,0 +1,300 @@
+"""Fused neighborhood attention as a Pallas TPU kernel.
+
+Fuses what the reference runs as two CUDA kernels plus torch glue
+(CLUSTEN-QK -> +rel-pos bias -> mask -> blank-token softmax -> CLUSTEN-AV,
+``aff_transformer.py:120-155``) into ONE kernel per (batch, head,
+query-tile).
+
+TPU-first design — dense-within-tile with cluster masking, not gathers:
+each query's neighborhood is a union of whole clusters, so instead of
+gathering K/V rows (irregular memory movement the MXU hates), the kernel
+computes the *dense* q @ K^T over all tokens of the (batch, head) — K/V
+live in VMEM — and masks logits down to each token's ``nnc`` nearest
+clusters. Dense QK costs ``n * c_`` MACs per query on the MXU versus
+``nnc * n * c_`` for a one-hot gather formulation — the "wasteful" dense
+matmul is the cheapest formulation on this hardware. The relative-position
+bias is evaluated in-kernel from coordinates (5 fused VPU planes), so no
+``(b, h, n, m)`` bias tensor ever reaches HBM.
+
+Numerics vs the reference: identical except that padded cluster slots are
+excluded from the softmax instead of contributing ``exp(l0 - 100) ~ 1e-40``
+— invisible at fp32 (verified by the parity suite).
+
+The backward pass (custom_vjp) runs the one-hot-matmul algebra at the XLA
+level: the scatter-adds the reference hand-writes with ``fastAtomicAdd``
+(``clustenqk_cuda_kernel.cu:125``) become transposed one-hot matmuls —
+deterministic by construction.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .cluster_gather import gather_clusters_onehot
+
+__all__ = ["fused_cluster_attention"]
+
+NEG_INF = -1e30
+
+
+def _pick_tile(n: int) -> int:
+    for t in (512, 448, 392, 256, 196, 128, 112, 64, 49, 32, 16, 8):
+        if n % t == 0:
+            return t
+    return n
+
+
+def _fwd_kernel(q_ref, k_ref, v_ref, posq_ref, posk_ref, ncc_ref, wpe_ref,
+                bpe_ref, blank_ref, out_ref, blankp_ref,
+                *, cs: int, n_valid: int, rel_width: int,
+                clamp_hi: Optional[int]):
+    tq = q_ref.shape[2]
+    np_ = k_ref.shape[2]
+    nnc = ncc_ref.shape[2]
+
+    q = q_ref[0, 0].astype(jnp.float32)  # (tq, c_)
+    k = k_ref[0, 0].astype(jnp.float32)  # (np, c_)
+    v = v_ref[0, 0].astype(jnp.float32)
+
+    logits = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # (tq, np)
+
+    # relative-position bias, computed densely from coordinates
+    pxq = posq_ref[0, :, 0:1].astype(jnp.float32)  # (tq, 1)
+    pyq = posq_ref[0, :, 1:2].astype(jnp.float32)
+    pxk = posk_ref[0, :, 0].astype(jnp.float32)  # (np,)
+    pyk = posk_ref[0, :, 1].astype(jnp.float32)
+    dx = pxk[None, :] - pxq  # (tq, np)
+    dy = pyk[None, :] - pyq
+    if clamp_hi is not None:
+        # MixRes clamps table-frame coords to [0, tw-1] (mixres:527)
+        R = rel_width
+        dx = jnp.clip(dx + R, 0, clamp_hi) - R
+        dy = jnp.clip(dy + R, 0, clamp_hi) - R
+    dist = jnp.sqrt(dx * dx + dy * dy)
+    # sin = dy/dist, cos = dx/dist with the 0/0 center zeroed
+    inv = jnp.where(dist == 0, 0.0, 1.0 / jnp.where(dist == 0, 1.0, dist))
+    hi = pl.program_id(1)
+    bias = wpe_ref[0, hi] * dx + wpe_ref[1, hi] * dy + wpe_ref[2, hi] * dist \
+        + wpe_ref[3, hi] * (dy * inv) + wpe_ref[4, hi] * (dx * inv)
+    logits = logits + bias + bpe_ref[hi]
+
+    # neighborhood mask: column j belongs iff cluster(j) in ncc[t]
+    col_cluster = jax.lax.broadcasted_iota(jnp.int32, (tq, np_), 1) // cs
+    member = jnp.zeros((tq, np_), jnp.bool_)
+    for j in range(nnc):
+        member = member | (col_cluster == ncc_ref[0, :, j][:, None])
+    valid = jax.lax.broadcasted_iota(jnp.int32, (tq, np_), 1) < n_valid
+    member = member & valid
+    logits = jnp.where(member, logits, NEG_INF)
+
+    blank = blank_ref[0, 0].astype(jnp.float32)  # (tq, 1)
+    mx = jnp.maximum(logits.max(axis=-1, keepdims=True), blank)
+    p = jnp.exp(logits - mx)
+    p = jnp.where(member, p, 0.0)
+    pb = jnp.exp(blank - mx)
+    denom = p.sum(axis=-1, keepdims=True) + pb
+    p = p / denom
+    pb = pb / denom
+
+    out = jax.lax.dot_general(
+        p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    out_ref[0, 0] = out.astype(out_ref.dtype)
+    blankp_ref[0, 0] = pb.astype(blankp_ref.dtype)
+
+
+def _attention_fwd_impl(q, k, v, ncc, pos, pe_kernel, pe_bias, blank_logit,
+                        cs, rel_width, clamp_width):
+    b, h, n, c_ = q.shape
+    nnc = ncc.shape[-1]
+    kk = -(-n // cs)
+    np_ = kk * cs
+    if np_ != n:
+        pad = np_ - n
+        zeros = jnp.zeros((b, h, pad, c_), k.dtype)
+        k = jnp.concatenate([k, zeros], axis=2)
+        v = jnp.concatenate([v, zeros], axis=2)
+        pos = jnp.concatenate(
+            [pos, jnp.zeros((b, pad, 2), pos.dtype)], axis=1
+        )
+    tq = _pick_tile(n)
+    grid = (b, h, n // tq)
+    clamp_hi = clamp_width - 1 if clamp_width else None
+
+    kernel = functools.partial(
+        _fwd_kernel, cs=cs, n_valid=n, rel_width=rel_width, clamp_hi=clamp_hi
+    )
+    out, blank_p = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1, tq, c_), lambda bi, hi, ti: (bi, hi, ti, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, np_, c_), lambda bi, hi, ti: (bi, hi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, np_, c_), lambda bi, hi, ti: (bi, hi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tq, 2), lambda bi, hi, ti: (bi, ti, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, np_, 2), lambda bi, hi, ti: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tq, nnc), lambda bi, hi, ti: (bi, ti, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # (5, h) pos_embed weights
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # (h,) pos_embed bias
+            pl.BlockSpec((1, 1, tq, 1), lambda bi, hi, ti: (bi, hi, ti, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, tq, c_), lambda bi, hi, ti: (bi, hi, ti, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, tq, 1), lambda bi, hi, ti: (bi, hi, ti, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, h, n, c_), q.dtype),
+            jax.ShapeDtypeStruct((b, h, n, 1), jnp.float32),
+        ],
+    )(
+        q, k, v, pos, pos, ncc,
+        pe_kernel.astype(jnp.float32), pe_bias.astype(jnp.float32),
+        blank_logit,
+    )
+    return out, blank_p
+
+
+def _rel_feat(pos, ncc, cs, rel_width, clamp_width):
+    """(b, n, m, 5) rel-pos features for the backward pass (XLA level)."""
+    pos_g = gather_clusters_onehot(pos[:, None], ncc, cs)[:, 0]  # b n m 2
+    rel = pos_g - pos[:, :, None, :]
+    if clamp_width:
+        rel = jnp.clip(rel + rel_width, 0, clamp_width - 1) - rel_width
+    dx, dy = rel[..., 0], rel[..., 1]
+    dist = jnp.sqrt(dx * dx + dy * dy)
+    safe = jnp.where(dist == 0, 1.0, dist)
+    sin = jnp.where(dist == 0, 0.0, dy / safe)
+    cos = jnp.where(dist == 0, 0.0, dx / safe)
+    return jnp.stack([dx, dy, dist, sin, cos], axis=-1)
+
+
+def _pad_mask(ncc, cs, n, nnc):
+    """(b, n, m) True where the slot maps to a real (non-padded) token."""
+    b = ncc.shape[0]
+    kk = -(-n // cs)
+    slot = jnp.arange(cs)
+    token_idx = ncc[..., None] * cs + slot  # b n nnc cs
+    return (token_idx < n).reshape(b, n, nnc * cs)
+
+
+def fused_cluster_attention(q, k, v, ncc, pos, pe_kernel, pe_bias,
+                            blank_logit, cs, rel_width, clamp_width=0):
+    """Fused local cluster attention (see module docstring).
+
+    Args:
+        q: (b, h, n, c_) pre-scaled queries (cluster-ordered).
+        k, v: (b, h, n, c_) cluster-ordered keys/values.
+        ncc: (b, n, nnc) int32 nearest-cluster indices.
+        pos: (b, n, 2) float token positions (cluster-ordered).
+        pe_kernel: (5, h) pos_embed weights; pe_bias: (h,).
+        blank_logit: (b, h, n, 1) logit of the learned blank slot.
+        cs: cluster size; rel_width: R; clamp_width: table width for the
+            MixRes clamp (0 = no clamp, AFF semantics).
+
+    Returns:
+        (out (b, h, n, c_), blank_p (b, h, n, 1) fp32).
+    """
+    return _fca(q, k, v, ncc, pos, pe_kernel, pe_bias, blank_logit,
+                cs, rel_width, clamp_width)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10))
+def _fca(q, k, v, ncc, pos, pe_kernel, pe_bias, blank_logit,
+         cs, rel_width, clamp_width):
+    return _attention_fwd_impl(
+        q, k, v, ncc, pos, pe_kernel, pe_bias, blank_logit,
+        cs, rel_width, clamp_width,
+    )
+
+
+def _fca_fwd(q, k, v, ncc, pos, pe_kernel, pe_bias, blank_logit,
+             cs, rel_width, clamp_width):
+    out = _attention_fwd_impl(
+        q, k, v, ncc, pos, pe_kernel, pe_bias, blank_logit,
+        cs, rel_width, clamp_width,
+    )
+    return out, (q, k, v, ncc, pos, pe_kernel, pe_bias, blank_logit)
+
+
+def _fca_bwd(cs, rel_width, clamp_width, residuals, cotangents):
+    q, k, v, ncc, pos, pe_kernel, pe_bias, blank_logit = residuals
+    g_out, g_blankp = cotangents
+    b, h, n, c_ = q.shape
+    nnc = ncc.shape[-1]
+    kk = -(-n // cs)
+
+    # recompute probabilities with the one-hot algebra (XLA level)
+    feat5 = _rel_feat(pos, ncc, cs, rel_width, clamp_width)  # b n m 5
+    bias = (
+        jnp.einsum("bnmf,fh->bhnm", feat5, pe_kernel.astype(jnp.float32))
+        + pe_bias.astype(jnp.float32)[None, :, None, None]
+    )
+    pad_ok = _pad_mask(ncc, cs, n, nnc)[:, None]  # b 1 n m
+    kg = gather_clusters_onehot(k, ncc, cs)
+    vg = gather_clusters_onehot(v, ncc, cs)
+    logits = jnp.einsum(
+        "bhic,bhimc->bhim", q.astype(jnp.float32), kg.astype(jnp.float32)
+    ) + bias
+    logits = jnp.where(pad_ok, logits, NEG_INF)
+    blank = blank_logit.astype(jnp.float32)
+    mx = jnp.maximum(logits.max(-1, keepdims=True), blank)
+    p = jnp.where(pad_ok, jnp.exp(logits - mx), 0.0)
+    pb = jnp.exp(blank - mx)
+    denom = p.sum(-1, keepdims=True) + pb
+    p = p / denom
+    pb = pb / denom
+
+    g_out32 = g_out.astype(jnp.float32)
+    dp = jnp.einsum("bhic,bhimc->bhim", g_out32, vg.astype(jnp.float32))
+    gb = g_blankp.astype(jnp.float32)
+
+    s = (dp * p).sum(-1, keepdims=True) + gb * pb
+    dlogits = p * (dp - s)  # zero at masked slots since p there is 0
+    dblank = pb * (gb - s)
+
+    dq = jnp.einsum("bhim,bhimc->bhic", dlogits, kg.astype(jnp.float32))
+    d_pe_kernel = jnp.einsum("bhnm,bnmf->fh", dlogits, feat5)
+    d_pe_bias = dlogits.sum(axis=(0, 2, 3))
+
+    # scatter-adds as transposed one-hot matmuls (deterministic)
+    onehot = jax.nn.one_hot(ncc.reshape(b, -1), kk, dtype=jnp.float32)
+    dkg = q.astype(jnp.float32)[:, :, :, None, :] * dlogits[..., None]
+    dvg = p[..., None] * g_out32[:, :, :, None, :]
+
+    def scatter(dxg):
+        flat = dxg.reshape(b, h, n * nnc, cs * c_)
+        acc = jnp.einsum("bek,bhed->bhkd", onehot, flat)
+        return acc.reshape(b, h, kk * cs, c_)[:, :, :n]
+
+    dk = scatter(dkg)
+    dv = scatter(dvg)
+    return (
+        dq.astype(q.dtype),
+        dk.astype(k.dtype),
+        dv.astype(v.dtype),
+        None,
+        None,
+        d_pe_kernel.astype(pe_kernel.dtype),
+        d_pe_bias.astype(pe_bias.dtype),
+        dblank.astype(blank_logit.dtype),
+    )
+
+
+_fca.defvjp(_fca_fwd, _fca_bwd)

@@ -1,0 +1,146 @@
+"""MaskFiner family: build, forward shapes, jit, gradients, curriculum."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ml_autofocusformermod_tpu.config import load_config
+from ml_autofocusformermod_tpu.models.build import build_model
+
+CFG_DIR = os.path.join(
+    os.path.dirname(__file__), "..", "ml_autofocusformermod_tpu", "configs"
+)
+
+
+def tiny_mr(cfg_name, **opts):
+    c = load_config(os.path.join(CFG_DIR, cfg_name))
+    c.defrost()
+    c.MODEL.NUM_CLASSES = 10
+    c.DATA.IMG_SIZE = 64
+    n = len(c.MODEL.MR.NAME)
+    c.MODEL.MR.EMBED_DIM = ([32, 24, 16, 8] + [16, 24, 32])[:n]
+    c.MODEL.MR.DEPTHS = [1] * n
+    c.MODEL.MR.NUM_HEADS = [2] * n
+    c.MODEL.MR.MLP_RATIO = [2.0] * n
+    c.TPU.COMPUTE_DTYPE = "float32"
+    for k, v in opts.items():
+        node = c
+        parts = k.split(".")
+        for p in parts[:-1]:
+            node = node[p]
+        node[parts[-1]] = v
+    return c.freeze()
+
+
+def _init_and_forward(cfg, batch=2):
+    model = build_model(cfg)
+    x = jax.random.normal(
+        jax.random.PRNGKey(1), (batch, cfg.DATA.IMG_SIZE, cfg.DATA.IMG_SIZE, 3)
+    )
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "upsample": jax.random.PRNGKey(7)},
+        x,
+        training=False,
+    )
+    out = model.apply(
+        variables, x, training=False, rngs={"upsample": jax.random.PRNGKey(7)}
+    )
+    return model, variables, out
+
+
+def test_oracle_teacher_forward():
+    cfg = tiny_mr("maskfiner_oracle_teacher.yaml")
+    model, variables, out = _init_and_forward(cfg)
+    assert out.shape == (2, 10)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_up_down_forward():
+    cfg = tiny_mr("maskfiner_up_down_mini.yaml")
+    model, variables, out = _init_and_forward(cfg)
+    assert out.shape == (2, 10)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_up_down_aux_loss_heads():
+    cfg = tiny_mr("maskfiner_up_down_mini.yaml", **{"MODEL.MR.AUX_LOSS": True})
+    model, variables, out = _init_and_forward(cfg)
+    assert isinstance(out, (list, tuple)) and len(out) == 4
+    for o in out:
+        assert o.shape == (2, 10)
+
+
+def test_up_down_without_keep_old_scale():
+    cfg = tiny_mr(
+        "maskfiner_up_down_mini.yaml", **{"MODEL.MR.KEEP_OLD_SCALE": False}
+    )
+    _, _, out = _init_and_forward(cfg)
+    assert out.shape == (2, 10)
+
+
+def test_oracle_teacher_add_image_data_paths():
+    # OT preset has ADD_IMAGE_DATA_TO_ALL: True; also cover the off path
+    cfg = tiny_mr(
+        "maskfiner_oracle_teacher.yaml",
+        **{"MODEL.MR.ADD_IMAGE_DATA_TO_ALL": False},
+    )
+    _, _, out = _init_and_forward(cfg)
+    assert out.shape == (2, 10)
+
+
+def test_up_down_grads_and_jit():
+    cfg = tiny_mr("maskfiner_up_down_mini.yaml")
+    model = build_model(cfg)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 64, 64, 3))
+    y = jnp.array([1, 2])
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "upsample": jax.random.PRNGKey(7)},
+        x,
+        training=False,
+    )
+    params = variables["params"]
+    others = {k: v for k, v in variables.items() if k != "params"}
+
+    @jax.jit
+    def loss_fn(params):
+        out, _ = model.apply(
+            {"params": params, **others},
+            x,
+            training=True,
+            mutable=["batch_stats"],
+            rngs={
+                "dropout": jax.random.PRNGKey(3),
+                "upsample": jax.random.PRNGKey(4),
+            },
+        )
+        onehot = jax.nn.one_hot(y, out.shape[-1])
+        return -(jax.nn.log_softmax(out) * onehot).sum(-1).mean()
+
+    loss, grads = jax.value_and_grad(loss_fn)(params)
+    assert np.isfinite(float(loss))
+    leaves = jax.tree_util.tree_leaves(grads)
+    assert all(np.isfinite(np.asarray(g)).all() for g in leaves)
+    nonzero = sum(1 for g in leaves if float(jnp.abs(g).sum()) > 0)
+    assert nonzero > len(leaves) * 0.5
+
+
+def test_curriculum_rebuild_changes_token_counts():
+    """The trainer anneals upscale ratios by rebuilding the model; params
+    stay compatible across ratios (shapes don't depend on the ratio)."""
+    from ml_autofocusformermod_tpu.models.maskfiner_ud import build_up_down
+
+    cfg = tiny_mr("maskfiner_up_down_mini.yaml")
+    m1 = build_up_down(cfg, jnp.float32)
+    m2 = build_up_down(
+        cfg, jnp.float32, upscale_ratios=[0.0, 1.0, 1.0, 1.0, 0.0, 0.0, 0.0]
+    )
+    x = jnp.zeros((1, 64, 64, 3))
+    rngs = {"params": jax.random.PRNGKey(0), "upsample": jax.random.PRNGKey(1)}
+    v1 = m1.init(rngs, x, training=False)
+    out = m2.apply(
+        v1, x, training=False, rngs={"upsample": jax.random.PRNGKey(2)}
+    )
+    assert out.shape == (1, 10)
