@@ -38,6 +38,7 @@ def main() -> None:
         num_heads=(2, 4, 8, 16),
         mlp_ratio=2.0,
         img_size=224,
+        use_pallas=True,
         dtype=jnp.bfloat16,
     )
     rng = jax.random.PRNGKey(0)

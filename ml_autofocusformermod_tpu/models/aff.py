@@ -21,7 +21,7 @@ import numpy as np
 
 from ..ops.cluster_gather import gather_clusters_onehot
 from ..ops.knn import knn
-from ..ops.sfc import grid_cluster, space_filling_cluster
+from ..ops.sfc import grid_cluster, grid_nearest_clusters, space_filling_cluster
 from .layers import (
     ClusterMerging,
     ClusterTransformerBlock,
@@ -131,15 +131,27 @@ class BasicLayer(nn.Module):
                 "member_idx shape incorrect"
             )
 
-            nearest_cluster = knn(pos, cluster_mean_pos, nnc)  # b n nnc
-            # expand cluster members into per-token neighbor lists
-            member_idx = jnp.take_along_axis(
-                member_idx, nearest_cluster.reshape(b, -1, 1), axis=1
+            if on_grid and k != n:
+                # on-grid kNN is a pure function of (h, w, m): host constant
+                g_ncc = grid_nearest_clusters(h, w, m, nnc)
+                nearest_cluster = jnp.broadcast_to(
+                    jnp.asarray(g_ncc)[None], (b,) + g_ncc.shape
+                )
+            else:
+                nearest_cluster = knn(pos, cluster_mean_pos, nnc)  # b n nnc
+
+            # expand cluster members arithmetically: after the reorder,
+            # cluster c holds rows [c*m, (c+1)*m); padded slots point past n
+            # and are masked (the reference pads with token 0 instead —
+            # masked either way, aff_transformer.py:479-483)
+            slot = jnp.arange(m, dtype=jnp.int32)
+            member_idx = (
+                nearest_cluster[..., None] * m + slot
             ).reshape(b, n, nbhd_size)
-            if cluster_mask is not None:
-                cluster_mask = jnp.take_along_axis(
-                    cluster_mask, nearest_cluster.reshape(b, -1, 1), axis=1
-                ).reshape(b, n, nbhd_size)
+            if k * m != n:
+                cluster_mask = (member_idx < n).astype(jnp.int32)
+            else:
+                cluster_mask = None
 
             if self.use_pallas:
                 rel_pos = None  # the fused kernel computes bias from pos

@@ -26,7 +26,7 @@ import numpy as np
 
 from ..ops.cluster_gather import gather_clusters_onehot, gather_rows
 from ..ops.clusten import clusten_av, clusten_qk, clusten_wf
-from ..ops.knn import knn
+from ..ops.knn import knn, nearest_other_distance
 
 Dtype = Any
 
@@ -403,8 +403,7 @@ class ClusterMerging(nn.Module):
         if stride == 2:
             grid_prob = ((pos % stride).sum(-1) == 0).astype(jnp.float32)
         else:
-            _, min_dist = knn(pos, pos, 2, return_dist=True)
-            min_dist = min_dist[:, :, 1]
+            min_dist = nearest_other_distance(pos)  # b x n
             ada_stride = 2.0 ** (jnp.ceil(jnp.log2(min_dist)) + 1)  # b x n
             grid_prob = (
                 (pos.astype(jnp.int32) % ada_stride[..., None].astype(jnp.int32))

@@ -112,13 +112,15 @@ class MixResBasicLayer(nn.Module):
                 pos_scale = jnp.take_along_axis(pos_scale, reorder, axis=1)
 
             nearest_cluster = knn(pos, cluster_mean_pos, nnc)
-            member_idx = jnp.take_along_axis(
-                member_idx, nearest_cluster.reshape(b, -1, 1), axis=1
+            # arithmetic cluster expansion (cluster c = rows [c*m, (c+1)*m));
+            # padded slots point past n and are masked
+            slot = jnp.arange(m, dtype=jnp.int32)
+            member_idx = (
+                nearest_cluster[..., None] * m + slot
             ).reshape(b, n, nbhd_size)
-            if cluster_mask is not None:
-                cluster_mask = jnp.take_along_axis(
-                    cluster_mask, nearest_cluster.reshape(b, -1, 1), axis=1
-                ).reshape(b, n, nbhd_size)
+            cluster_mask = (
+                (member_idx < n).astype(jnp.int32) if k * m != n else None
+            )
             if self.use_pallas:
                 rel_pos = None  # fused kernel computes bias from pos
             else:

@@ -43,11 +43,18 @@ __all__ = ["fused_cluster_attention"]
 NEG_INF = -1e30
 
 
-def _pick_tile(n: int) -> int:
+def _pick_tile(n: int, np_: int) -> int:
+    """Largest divisor tile whose fp32 working planes fit the VMEM budget.
+
+    The kernel keeps ~8 (tq, np) fp32 planes live (logits, dx/dy, dist,
+    mask, probs, temporaries); budget them against the raised 96MB scoped
+    limit with headroom for K/V and pipeline buffers.
+    """
+    budget = 60 * 1024 * 1024
     for t in (512, 448, 392, 256, 196, 128, 112, 64, 49, 32, 16, 8):
-        if n % t == 0:
+        if n % t == 0 and t * np_ * 4 * 8 <= budget:
             return t
-    return n
+    return min(n, 8)
 
 
 def _fwd_kernel(q_ref, k_ref, v_ref, posq_ref, posk_ref, ncc_ref, wpe_ref,
@@ -63,14 +70,19 @@ def _fwd_kernel(q_ref, k_ref, v_ref, posq_ref, posk_ref, ncc_ref, wpe_ref,
     v = v_ref[0, 0].astype(jnp.float32)
 
     logits = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )  # (tq, np)
 
-    # relative-position bias, computed densely from coordinates
-    pxq = posq_ref[0, :, 0:1].astype(jnp.float32)  # (tq, 1)
+    # relative-position bias, computed densely from coordinates.
+    # K positions arrive transposed (2, np) so x/y are LANE vectors —
+    # broadcasting a sublane-extracted column across lanes forces a
+    # catastrophic relayout (189MB of register spills at trivial sizes).
+    pxq = posq_ref[0, :, 0:1].astype(jnp.float32)  # (tq, 1) sublane vector
     pyq = posq_ref[0, :, 1:2].astype(jnp.float32)
-    pxk = posk_ref[0, :, 0].astype(jnp.float32)  # (np,)
-    pyk = posk_ref[0, :, 1].astype(jnp.float32)
+    pxk = posk_ref[0, 0, :].astype(jnp.float32)  # (np,) lane vector
+    pyk = posk_ref[0, 1, :].astype(jnp.float32)
     dx = pxk[None, :] - pxq  # (tq, np)
     dy = pyk[None, :] - pyq
     if clamp_hi is not None:
@@ -105,7 +117,9 @@ def _fwd_kernel(q_ref, k_ref, v_ref, posq_ref, posk_ref, ncc_ref, wpe_ref,
     pb = pb / denom
 
     out = jax.lax.dot_general(
-        p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        p, v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )
     out_ref[0, 0] = out.astype(out_ref.dtype)
     blankp_ref[0, 0] = pb.astype(blankp_ref.dtype)
@@ -117,6 +131,7 @@ def _attention_fwd_impl(q, k, v, ncc, pos, pe_kernel, pe_bias, blank_logit,
     nnc = ncc.shape[-1]
     kk = -(-n // cs)
     np_ = kk * cs
+    pos_q = pos  # query positions stay unpadded (match q/ncc row count)
     if np_ != n:
         pad = np_ - n
         zeros = jnp.zeros((b, h, pad, c_), k.dtype)
@@ -125,7 +140,7 @@ def _attention_fwd_impl(q, k, v, ncc, pos, pe_kernel, pe_bias, blank_logit,
         pos = jnp.concatenate(
             [pos, jnp.zeros((b, pad, 2), pos.dtype)], axis=1
         )
-    tq = _pick_tile(n)
+    tq = _pick_tile(n, np_)
     grid = (b, h, n // tq)
     clamp_hi = clamp_width - 1 if clamp_width else None
 
@@ -135,6 +150,9 @@ def _attention_fwd_impl(q, k, v, ncc, pos, pe_kernel, pe_bias, blank_logit,
     out, blank_p = pl.pallas_call(
         kernel,
         grid=grid,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=96 * 1024 * 1024,
+        ),
         in_specs=[
             pl.BlockSpec((1, 1, tq, c_), lambda bi, hi, ti: (bi, hi, ti, 0),
                          memory_space=pltpu.VMEM),
@@ -144,7 +162,7 @@ def _attention_fwd_impl(q, k, v, ncc, pos, pe_kernel, pe_bias, blank_logit,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tq, 2), lambda bi, hi, ti: (bi, ti, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, np_, 2), lambda bi, hi, ti: (bi, 0, 0),
+            pl.BlockSpec((1, 2, np_), lambda bi, hi, ti: (bi, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tq, nnc), lambda bi, hi, ti: (bi, ti, 0),
                          memory_space=pltpu.VMEM),
@@ -164,7 +182,7 @@ def _attention_fwd_impl(q, k, v, ncc, pos, pe_kernel, pe_bias, blank_logit,
             jax.ShapeDtypeStruct((b, h, n, 1), jnp.float32),
         ],
     )(
-        q, k, v, pos, pos, ncc,
+        q, k, v, pos_q, pos.transpose(0, 2, 1), ncc,
         pe_kernel.astype(jnp.float32), pe_bias.astype(jnp.float32),
         blank_logit,
     )

@@ -446,6 +446,28 @@ def _grid_cluster_np(
     )
 
 
+@functools.lru_cache(maxsize=None)
+def grid_nearest_clusters(h: int, w: int, m: int, nnc: int,
+                          sf_type: str = "", use_anchor: bool = True):
+    """``nnc`` nearest cluster ids per grid token — pure host constants.
+
+    The first stage's tokens sit on the regular grid, so the token-to-
+    cluster kNN (reference ``aff_transformer.py:476``) is a compile-time
+    constant too. Tie-breaking matches the traced path: ascending distance,
+    lowest index first; distances via the exact |q|^2+|d|^2-2qd expansion.
+    """
+    pos, mean_pos, _, _, _ = _grid_cluster_np(h, w, m, sf_type, use_anchor)
+    q = pos.astype(np.float32)
+    d = mean_pos.astype(np.float32)
+    d2 = (
+        (q**2).sum(-1)[:, None]
+        + (d**2).sum(-1)[None, :]
+        - 2.0 * (q @ d.T)
+    ).astype(np.float32)
+    order = np.argsort(d2, axis=1, kind="stable")[:, :nnc]
+    return order.astype(np.int32)
+
+
 def grid_cluster(h: int, w: int, m: int, sf_type: str = "", use_anchor: bool = True):
     """Clustering of the full regular ``h x w`` grid, precomputed on host.
 
