@@ -119,6 +119,11 @@ def main(config, logger, host, num_hosts):
     mesh = pmesh.make_mesh(
         data=config.TPU.MESH_DATA, model=config.TPU.MESH_MODEL
     )
+    if config.DATA.BATCH_SIZE % int(np.prod(mesh.devices.shape)) != 0:
+        raise ValueError(
+            f"DATA.BATCH_SIZE={config.DATA.BATCH_SIZE} must be divisible by "
+            f"the device count {int(np.prod(mesh.devices.shape))}"
+        )
 
     # optional pretrained / resume
     if config.MODEL.AFF.PRETRAINED or config.MODEL.PRETRAINED:
@@ -176,10 +181,13 @@ def main(config, logger, host, num_hosts):
     eval_step = T.make_eval_step(config, model)
     eval_step = jax.jit(eval_step)
 
+    n_mesh = int(np.prod(mesh.devices.shape))
+
     def validate(variables):
         meters = {k: AverageMeter() for k in ("loss", "top1", "top5")}
         for batch in val_loader:
-            sharded = pmesh.shard_batch(mesh, batch) if num_hosts == 1 else batch
+            batch = T.pad_batch_to_multiple(batch, n_mesh)
+            sharded = pmesh.shard_batch(mesh, batch)
             out = eval_step(
                 variables["params"], variables["batch_stats"], sharded
             )
@@ -199,10 +207,29 @@ def main(config, logger, host, num_hosts):
         return
 
     # training
+    from ml_autofocusformermod_tpu.train import curriculum
+
     train_step = jax.jit(T.make_train_step(config, model, tx, schedule))
     logger.info("Start training")
     start = time.time()
+    prev_ratios = None
     for epoch in range(start_epoch, config.TRAIN.EPOCHS):
+        # upsampling-ratio curriculum: anneal 1.0 -> final over training
+        # (reference main.py:231-235; guarded + quantized here — the
+        # reference version crashes for MODEL.TYPE=aff)
+        if curriculum.applies_to(model):
+            if prev_ratios is None:
+                final_ratios = list(model.final_upsampling_ratios)
+            ratios = curriculum.epoch_upsample_ratios(
+                final_ratios, config.TRAIN.EPOCHS, epoch
+            )
+            if ratios != prev_ratios:
+                logger.info(f"Upsampling ratios now {ratios}")
+                model = build_model(config, upscale_ratios=ratios)
+                train_step = jax.jit(
+                    T.make_train_step(config, model, tx, schedule)
+                )
+                prev_ratios = ratios
         train_loader.set_epoch(epoch)
         meters = {k: AverageMeter() for k in ("loss", "grad_norm")}
         t0 = time.time()

@@ -106,8 +106,9 @@ def build_dataset(config, is_train: bool):
             return ds, ds.num_classes
     # fall back to synthetic data (keeps --throughput / smoke paths alive)
     num_classes = config.MODEL.NUM_CLASSES
+    length = max(4 * config.DATA.BATCH_SIZE, 64)
     return (
-        SyntheticDataset(config.DATA.IMG_SIZE, num_classes, length=2048),
+        SyntheticDataset(config.DATA.IMG_SIZE, num_classes, length=length),
         num_classes,
     )
 

@@ -14,11 +14,13 @@ _DTYPES = {
 }
 
 
-def build_model(config):
+def build_model(config, upscale_ratios=None):
     """Instantiate the model named by ``config.MODEL.TYPE``.
 
     ``aff`` -> :class:`AutoFocusFormer`; ``maskfinerOT`` / ``maskfinerUD`` ->
     the MaskFiner wrappers (reference ``models/build.py:35-161``).
+    ``upscale_ratios`` overrides the MaskFiner upsampling ratios (curriculum
+    rebuild; parameter shapes are ratio-independent).
     """
     model_type = config.MODEL.TYPE
     dtype = _DTYPES[config.TPU.COMPUTE_DTYPE]
@@ -48,9 +50,9 @@ def build_model(config):
     if model_type == "maskfinerOT":
         from .maskfiner_ot import build_oracle_teacher
 
-        return build_oracle_teacher(config, dtype)
+        return build_oracle_teacher(config, dtype, upscale_ratios)
     if model_type == "maskfinerUD":
         from .maskfiner_ud import build_up_down
 
-        return build_up_down(config, dtype)
+        return build_up_down(config, dtype, upscale_ratios)
     raise NotImplementedError(f"Unknown model type: {model_type}")

@@ -103,12 +103,17 @@ class OracleTeacherBackbone(nn.Module):
         return out
 
 
-def build_oracle_teacher(config, dtype) -> OracleTeacherBackbone:
+def build_oracle_teacher(
+    config, dtype, upscale_ratios=None
+) -> OracleTeacherBackbone:
     """Factory (reference ``models/build.py:35-84``)."""
     from .mixres_neighbour import MixResNeighbour
     from .mixres_vit import MixResViT
 
     mr = config.MODEL.MR
+    ratios = (
+        list(upscale_ratios) if upscale_ratios else list(mr.UPSCALE_RATIO)
+    )
     backbones = []
     for i, name in enumerate(mr.NAME):
         in_chans = 3 if i == 0 else mr.EMBED_DIM[i - 1]
@@ -126,7 +131,7 @@ def build_oracle_teacher(config, dtype) -> OracleTeacherBackbone:
             channels=in_chans,
             n_scales=mr.N_RESOLUTION_SCALES,
             min_patch_size=mr.PATCH_SIZES[-1],
-            upscale_ratio=mr.UPSCALE_RATIO[i],
+            upscale_ratio=ratios[i],
             out_features=tuple(mr.OUT_FEATURES[-(i + 1):]),
             dtype=dtype,
         )

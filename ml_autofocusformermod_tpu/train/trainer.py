@@ -70,12 +70,13 @@ def make_train_step(
     ema_decay = config.TRAIN.EMA_DECAY
 
     def loss_fn(params, batch_stats, images, target, rng):
+        rng_drop, rng_up = jax.random.split(rng)
         outputs, updates = model.apply(
             {"params": params, "batch_stats": batch_stats},
             images,
             training=True,
             mutable=["batch_stats"],
-            rngs={"dropout": rng},
+            rngs={"dropout": rng_drop, "upsample": rng_up},
         )
         if isinstance(outputs, (list, tuple)):
             # aux-head models return a list; average the losses (main.py:248-257)
@@ -154,18 +155,45 @@ def make_eval_step(config, model) -> Callable:
         if isinstance(logits, (list, tuple)):
             logits = logits[-1]  # main.py:347-357: last output scores
         labels = batch["label"]
-        loss = cross_entropy(logits, labels, smoothing)
+        valid = batch.get("valid")
+        if valid is None:
+            valid = jnp.ones_like(labels, jnp.bool_)
+        target = jax.nn.one_hot(labels, logits.shape[-1])
+        logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        per_sample = -(target * logp).sum(-1)
         top = jnp.argsort(-logits, axis=-1)[:, :5]
-        correct1 = (top[:, 0] == labels).sum()
-        correct5 = (top == labels[:, None]).any(-1).sum()
+        correct1 = ((top[:, 0] == labels) & valid).sum()
+        correct5 = ((top == labels[:, None]).any(-1) & valid).sum()
         return {
-            "loss_sum": loss * labels.shape[0],
+            "loss_sum": (per_sample * valid).sum(),
             "top1": correct1,
             "top5": correct5,
-            "count": jnp.asarray(labels.shape[0]),
+            "count": valid.sum(),
         }
 
     return eval_step
+
+
+def pad_batch_to_multiple(batch: dict, multiple: int) -> dict:
+    """Pad a partial batch to ``multiple`` rows (mesh divisibility) with a
+    validity mask so metrics ignore the padding."""
+    n = batch["label"].shape[0]
+    import numpy as np
+
+    valid = batch.get("valid")
+    if valid is None:
+        valid = np.ones((n,), bool)
+    rem = n % multiple
+    if rem == 0:
+        return {**batch, "valid": valid}
+    pad = multiple - rem
+    out = {}
+    for k, v in {**batch, "valid": valid}.items():
+        reps = np.concatenate([v, np.repeat(v[-1:], pad, axis=0)], axis=0)
+        if k == "valid":
+            reps[n:] = False
+        out[k] = reps
+    return out
 
 
 def jit_for_mesh(fn, mesh, state_like=None, donate_state: bool = True):
