@@ -29,6 +29,7 @@ deterministic by construction.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional, Tuple
 
 import jax
@@ -42,6 +43,9 @@ __all__ = ["fused_cluster_attention"]
 
 NEG_INF = -1e30
 
+# escape hatch so CPU tests can exercise the kernel via the interpreter
+_INTERPRET = os.environ.get("MLAFF_PALLAS_INTERPRET", "0") == "1"
+
 
 def _pick_tile(n: int, np_: int) -> int:
     """Largest divisor tile whose fp32 working planes fit the VMEM budget.
@@ -51,10 +55,16 @@ def _pick_tile(n: int, np_: int) -> int:
     limit with headroom for K/V and pipeline buffers.
     """
     budget = 60 * 1024 * 1024
-    for t in (512, 448, 392, 256, 196, 128, 112, 64, 49, 32, 16, 8):
-        if n % t == 0 and t * np_ * 4 * 8 <= budget:
+    best = None
+    for t in range(min(n, 512), 0, -1):
+        if n % t != 0:
+            continue
+        if t % 8 != 0 and t != n:
+            continue  # sublane constraint: divisible by 8 or the full dim
+        if t * np_ * 4 * 8 <= budget:
             return t
-    return min(n, 8)
+        best = best or t
+    return best if best is not None else n
 
 
 def _fwd_kernel(q_ref, k_ref, v_ref, posq_ref, posk_ref, ncc_ref, wpe_ref,
@@ -150,6 +160,7 @@ def _attention_fwd_impl(q, k, v, ncc, pos, pe_kernel, pe_bias, blank_logit,
     out, blank_p = pl.pallas_call(
         kernel,
         grid=grid,
+        interpret=_INTERPRET,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=96 * 1024 * 1024,
         ),
