@@ -70,22 +70,14 @@ def _pick_tile(n: int, np_: int) -> int:
 def _fwd_kernel(q_ref, k_ref, v_ref, posq_ref, posk_ref, ncc_ref, wpe_ref,
                 bpe_ref, blank_ref, out_ref, blankp_ref,
                 *, cs: int, n_valid: int, rel_width: int,
-                clamp_hi: Optional[int]):
+                clamp_hi: Optional[int], hiprec: bool):
+    nh = q_ref.shape[1]
     tq = q_ref.shape[2]
     np_ = k_ref.shape[2]
     nnc = ncc_ref.shape[2]
+    prec = jax.lax.Precision.HIGHEST if hiprec else None
 
-    q = q_ref[0, 0].astype(jnp.float32)  # (tq, c_)
-    k = k_ref[0, 0].astype(jnp.float32)  # (np, c_)
-    v = v_ref[0, 0].astype(jnp.float32)
-
-    logits = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )  # (tq, np)
-
-    # relative-position bias, computed densely from coordinates.
+    # --- geometry, shared across heads (the VPU-bound part) ---
     # K positions arrive transposed (2, np) so x/y are LANE vectors —
     # broadcasting a sublane-extracted column across lanes forces a
     # catastrophic relayout (189MB of register spills at trivial sizes).
@@ -100,39 +92,50 @@ def _fwd_kernel(q_ref, k_ref, v_ref, posq_ref, posk_ref, ncc_ref, wpe_ref,
         R = rel_width
         dx = jnp.clip(dx + R, 0, clamp_hi) - R
         dy = jnp.clip(dy + R, 0, clamp_hi) - R
-    dist = jnp.sqrt(dx * dx + dy * dy)
-    # sin = dy/dist, cos = dx/dist with the 0/0 center zeroed
-    inv = jnp.where(dist == 0, 0.0, 1.0 / jnp.where(dist == 0, 1.0, dist))
-    hi = pl.program_id(1)
-    bias = wpe_ref[0, hi] * dx + wpe_ref[1, hi] * dy + wpe_ref[2, hi] * dist \
-        + wpe_ref[3, hi] * (dy * inv) + wpe_ref[4, hi] * (dx * inv)
-    logits = logits + bias + bpe_ref[hi]
+    d2 = dx * dx + dy * dy
+    # dist = d2 * rsqrt(d2); sin = dy * rsqrt; cos = dx * rsqrt (0 at center)
+    inv = jnp.where(d2 > 0, jax.lax.rsqrt(jnp.where(d2 > 0, d2, 1.0)), 0.0)
 
     # neighborhood mask: column j belongs iff cluster(j) in ncc[t]
-    col_cluster = jax.lax.broadcasted_iota(jnp.int32, (tq, np_), 1) // cs
+    col_idx = jax.lax.broadcasted_iota(jnp.int32, (tq, np_), 1)
+    col_cluster = col_idx // cs
     member = jnp.zeros((tq, np_), jnp.bool_)
     for j in range(nnc):
         member = member | (col_cluster == ncc_ref[0, :, j][:, None])
-    valid = jax.lax.broadcasted_iota(jnp.int32, (tq, np_), 1) < n_valid
-    member = member & valid
-    logits = jnp.where(member, logits, NEG_INF)
+    member = member & (col_idx < n_valid)
 
-    blank = blank_ref[0, 0].astype(jnp.float32)  # (tq, 1)
-    mx = jnp.maximum(logits.max(axis=-1, keepdims=True), blank)
-    p = jnp.exp(logits - mx)
-    p = jnp.where(member, p, 0.0)
-    pb = jnp.exp(blank - mx)
-    denom = p.sum(axis=-1, keepdims=True) + pb
-    p = p / denom
-    pb = pb / denom
+    # --- per-head attention (MXU) over the shared geometry ---
+    for hi in range(nh):
+        q = q_ref[0, hi]  # (tq, c_)
+        k = k_ref[0, hi]
+        v = v_ref[0, hi]
+        logits = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec,
+        )  # (tq, np)
+        bias = (
+            wpe_ref[0, hi] * dx
+            + wpe_ref[1, hi] * dy
+            + (wpe_ref[2, hi] * d2 + wpe_ref[3, hi] * dy
+               + wpe_ref[4, hi] * dx) * inv
+        )
+        logits = jnp.where(member, logits + bias + bpe_ref[hi], NEG_INF)
 
-    out = jax.lax.dot_general(
-        p, v, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )
-    out_ref[0, 0] = out.astype(out_ref.dtype)
-    blankp_ref[0, 0] = pb.astype(blankp_ref.dtype)
+        blank = blank_ref[0, hi].astype(jnp.float32)  # (tq, 1)
+        mx = jnp.maximum(logits.max(axis=-1, keepdims=True), blank)
+        p = jnp.exp(logits - mx)
+        p = jnp.where(member, p, 0.0)
+        pb = jnp.exp(blank - mx)
+        denom = p.sum(axis=-1, keepdims=True) + pb
+        pb = pb / denom
+        p = (p / denom).astype(v.dtype)
+
+        out = jax.lax.dot_general(
+            p, v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec,
+        )
+        out_ref[0, hi] = out.astype(out_ref.dtype)
+        blankp_ref[0, hi] = pb.astype(blankp_ref.dtype)
 
 
 def _attention_fwd_impl(q, k, v, ncc, pos, pe_kernel, pe_bias, blank_logit,
@@ -151,41 +154,43 @@ def _attention_fwd_impl(q, k, v, ncc, pos, pe_kernel, pe_bias, blank_logit,
             [pos, jnp.zeros((b, pad, 2), pos.dtype)], axis=1
         )
     tq = _pick_tile(n, np_)
-    grid = (b, h, n // tq)
+    grid = (b, n // tq)
     clamp_hi = clamp_width - 1 if clamp_width else None
+    hiprec = q.dtype == jnp.float32
 
     kernel = functools.partial(
-        _fwd_kernel, cs=cs, n_valid=n, rel_width=rel_width, clamp_hi=clamp_hi
+        _fwd_kernel, cs=cs, n_valid=n, rel_width=rel_width,
+        clamp_hi=clamp_hi, hiprec=hiprec,
     )
     out, blank_p = pl.pallas_call(
         kernel,
         grid=grid,
         interpret=_INTERPRET,
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=96 * 1024 * 1024,
+            vmem_limit_bytes=100 * 1024 * 1024,
         ),
         in_specs=[
-            pl.BlockSpec((1, 1, tq, c_), lambda bi, hi, ti: (bi, hi, ti, 0),
+            pl.BlockSpec((1, h, tq, c_), lambda bi, ti: (bi, 0, ti, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, np_, c_), lambda bi, hi, ti: (bi, hi, 0, 0),
+            pl.BlockSpec((1, h, np_, c_), lambda bi, ti: (bi, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, np_, c_), lambda bi, hi, ti: (bi, hi, 0, 0),
+            pl.BlockSpec((1, h, np_, c_), lambda bi, ti: (bi, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tq, 2), lambda bi, hi, ti: (bi, ti, 0),
+            pl.BlockSpec((1, tq, 2), lambda bi, ti: (bi, ti, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 2, np_), lambda bi, hi, ti: (bi, 0, 0),
+            pl.BlockSpec((1, 2, np_), lambda bi, ti: (bi, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tq, nnc), lambda bi, hi, ti: (bi, ti, 0),
+            pl.BlockSpec((1, tq, nnc), lambda bi, ti: (bi, ti, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),  # (5, h) pos_embed weights
             pl.BlockSpec(memory_space=pltpu.SMEM),  # (h,) pos_embed bias
-            pl.BlockSpec((1, 1, tq, 1), lambda bi, hi, ti: (bi, hi, ti, 0),
+            pl.BlockSpec((1, h, tq, 1), lambda bi, ti: (bi, 0, ti, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, 1, tq, c_), lambda bi, hi, ti: (bi, hi, ti, 0),
+            pl.BlockSpec((1, h, tq, c_), lambda bi, ti: (bi, 0, ti, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, tq, 1), lambda bi, hi, ti: (bi, hi, ti, 0),
+            pl.BlockSpec((1, h, tq, 1), lambda bi, ti: (bi, 0, ti, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
