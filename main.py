@@ -93,6 +93,7 @@ def main(config, logger, host, num_hosts):
     from ml_autofocusformermod_tpu.parallel import mesh as pmesh
     from ml_autofocusformermod_tpu.train import trainer as T
     from ml_autofocusformermod_tpu.utils.meters import AverageMeter
+    from ml_autofocusformermod_tpu.utils.metrics_log import MetricsLogger
 
     train_loader, val_loader, num_classes = build_loaders(
         config, host=host, num_hosts=num_hosts
@@ -209,6 +210,11 @@ def main(config, logger, host, num_hosts):
     # training
     from ml_autofocusformermod_tpu.train import curriculum
 
+    metrics_log = MetricsLogger(
+        config.OUTPUT, project="CandidateNet", name=config.MODEL.NAME,
+        config=config.to_dict(), enabled=host == 0,
+    )
+
     train_step = jax.jit(T.make_train_step(config, model, tx, schedule))
     logger.info("Start training")
     start = time.time()
@@ -251,6 +257,11 @@ def main(config, logger, host, num_hosts):
                     f"loss {meters['loss'].val:.4f} ({meters['loss'].avg:.4f}) "
                     f"grad_norm {meters['grad_norm'].val:.4f}"
                 )
+                metrics_log.log(
+                    {"train/loss": loss, "train/grad_norm": gn,
+                     "train/lr": lr},
+                    step=int(state.step),
+                )
         logger.info(
             f"EPOCH {epoch} training takes "
             f"{datetime.timedelta(seconds=int(time.time() - t0))}"
@@ -271,6 +282,11 @@ def main(config, logger, host, num_hosts):
             logger.info(
                 f"Accuracy: {acc1:.2f}% top-1 / {acc5:.2f}% top-5 "
                 f"(max {max_accuracy:.2f}%)"
+            )
+            metrics_log.log(
+                {"val/acc1": acc1, "val/acc5": acc5, "val/loss": loss,
+                 "epoch": epoch},
+                step=int(state.step),
             )
             if state.ema_params is not None:
                 ema_vars = {

@@ -50,16 +50,40 @@ _SEG_MAP = {
     "weight_net_norm": "weight_net.1",
 }
 
+# flax module names that flatten a nested torch container
+_SEG_REGEX = [
+    # MixResViT: TransformerLayer wrapper 'layers' holding 'blocks' list
+    (r"layers_blocks_(\d+)", r"layers.blocks.\1"),
+]
+
+
+import re
+
 
 def _torch_key(path: Tuple[str, ...]) -> str:
     """Translate a flax variable path to the reference torch key."""
+    import re
+
     segs: List[str] = []
     for seg in path[:-1]:
         if seg in _SEG_MAP:
             segs.append(_SEG_MAP[seg])
-        elif seg.startswith(("layers_", "blocks_", "backbones_")):
-            prefix, idx = seg.rsplit("_", 1)
-            segs.append(f"{prefix}.{idx}")
+            continue
+        matched = False
+        for pat, repl in _SEG_REGEX:
+            m = re.fullmatch(pat, seg)
+            if m:
+                segs.append(m.expand(repl))
+                matched = True
+                break
+        if matched:
+            continue
+        # list-module segments: layers_3 -> layers.3, backbones_0 ->
+        # backbones.0, conv_layers_1 -> conv_layers.1, heads_2 -> heads.2 ...
+        # (scalar names like norm1/fc2 have no underscore before the digit)
+        m = re.fullmatch(r"(.+)_(\d+)", seg)
+        if m:
+            segs.append(f"{m.group(1)}.{m.group(2)}")
         else:
             segs.append(seg)
     leaf = path[-1]

@@ -66,6 +66,26 @@ def _install_fake_clusten():
     sys.modules["clusten"] = mod
 
 
+def _install_cuda_to_noop():
+    """The MixRes code hardcodes ``.to('cuda')`` on some tensors
+    (``mixres_vit.py:395``, ``maskfiner_up_down.py:148``); make that a
+    no-op so the reference runs on CPU."""
+    import torch
+
+    orig_to = torch.Tensor.to
+
+    def to(self, *args, **kwargs):
+        if args and args[0] == "cuda":
+            return self
+        if kwargs.get("device") == "cuda":
+            kwargs = {k: v for k, v in kwargs.items() if k != "device"}
+            if not args and not kwargs:
+                return self
+        return orig_to(self, *args, **kwargs)
+
+    torch.Tensor.to = to
+
+
 def _install_fake_timm():
     import torch
     from torch import nn
@@ -162,6 +182,7 @@ def load_reference_package():
 
     _install_fake_clusten()
     _install_fake_timm()
+    _install_cuda_to_noop()
 
     pkg = types.ModuleType("refmodels")
     pkg.__path__ = [REFERENCE_MODELS]
