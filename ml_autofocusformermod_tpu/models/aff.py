@@ -73,6 +73,7 @@ class BasicLayer(nn.Module):
         c = feat.shape[2]
         assert self.cluster_size > 0, "cluster_size must be positive"
         R = self.rel_pos_width
+        static_ncc = None
 
         if self.nbhd_size >= n:
             global_attn = True
@@ -134,6 +135,7 @@ class BasicLayer(nn.Module):
             if on_grid and k != n:
                 # on-grid kNN is a pure function of (h, w, m): host constant
                 g_ncc = grid_nearest_clusters(h, w, m, nnc)
+                static_ncc = g_ncc  # enables the windowed-K/V kernel path
                 nearest_cluster = jnp.broadcast_to(
                     jnp.asarray(g_ncc)[None], (b,) + g_ncc.shape
                 )
@@ -188,7 +190,7 @@ class BasicLayer(nn.Module):
                 name=f"blocks_{i_blk}",
             )(feat, member_idx, cluster_mask, global_attn, pe_feat,
               deterministic, nearest_cluster=ncc, cluster_size=csize,
-              pos=pos)
+              pos=pos, static_ncc=static_ncc)
 
         if self.out_dim is not None:
             if member_idx is None:

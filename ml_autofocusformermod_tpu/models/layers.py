@@ -175,6 +175,7 @@ class ClusterAttention(nn.Module):
         nearest_cluster: Optional[jax.Array] = None,  # b x n x nnc
         cluster_size: int = 0,
         pos: Optional[jax.Array] = None,  # b x n x 2 (fused path)
+        static_ncc=None,  # host-constant (n, nnc) np copy of nearest_cluster
     ) -> jax.Array:
         b, n, c = feat.shape
         h = self.num_heads
@@ -219,6 +220,7 @@ class ClusterAttention(nn.Module):
                 q, key, v, nearest_cluster, pos,
                 pos_embed.kernel, pos_embed.bias, blank_attn,
                 cluster_size, self.rel_pos_width, self.clamp_width,
+                static_ncc=static_ncc,
             )
             blank_out = blank_p.astype(out.dtype) * blank_v.astype(
                 out.dtype
@@ -312,6 +314,7 @@ class ClusterTransformerBlock(nn.Module):
         nearest_cluster: Optional[jax.Array] = None,
         cluster_size: int = 0,
         pos: Optional[jax.Array] = None,
+        static_ncc=None,
     ) -> jax.Array:
         shortcut = feat
         x = _layer_norm_fp32(nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm1"), feat)
@@ -326,7 +329,8 @@ class ClusterTransformerBlock(nn.Module):
             dtype=self.dtype,
             name="attn",
         )(x, member_idx, cluster_mask, global_attn, pe_feat, deterministic,
-          nearest_cluster=nearest_cluster, cluster_size=cluster_size, pos=pos)
+          nearest_cluster=nearest_cluster, cluster_size=cluster_size, pos=pos,
+          static_ncc=static_ncc)
 
         drop_path = DropPath(self.drop_path, name="drop_path")
         norm2 = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm2")

@@ -67,10 +67,17 @@ def _pick_tile(n: int, np_: int) -> int:
     return best if best is not None else n
 
 
-def _fwd_kernel(q_ref, k_ref, v_ref, posq_ref, posk_ref, ncc_ref, wpe_ref,
-                bpe_ref, blank_ref, out_ref, blankp_ref,
-                *, cs: int, n_valid: int, rel_width: int,
-                clamp_hi: Optional[int], hiprec: bool):
+def _fwd_kernel(*refs, cs: int, n_valid: int, rel_width: int,
+                clamp_hi: Optional[int], hiprec: bool, windowed: bool):
+    if windowed:
+        # scalar-prefetch ref with per-tile element window starts comes first
+        (off_ref, q_ref, k_ref, v_ref, posq_ref, posk_ref, ncc_ref, wpe_ref,
+         bpe_ref, blank_ref, out_ref, blankp_ref) = refs
+        col0 = off_ref[pl.program_id(1)] * 128
+    else:
+        (q_ref, k_ref, v_ref, posq_ref, posk_ref, ncc_ref, wpe_ref,
+         bpe_ref, blank_ref, out_ref, blankp_ref) = refs
+        col0 = 0
     nh = q_ref.shape[1]
     tq = q_ref.shape[2]
     np_ = k_ref.shape[2]
@@ -81,23 +88,29 @@ def _fwd_kernel(q_ref, k_ref, v_ref, posq_ref, posk_ref, ncc_ref, wpe_ref,
     # K positions arrive transposed (2, np) so x/y are LANE vectors —
     # broadcasting a sublane-extracted column across lanes forces a
     # catastrophic relayout (189MB of register spills at trivial sizes).
+    # geometry stays fp32: bf16 compares are unsupported on v5e and bf16
+    # rsqrt/fma chains crash the LLO scheduler (tried; SIGABRT)
+    geom = jnp.float32
     pxq = posq_ref[0, :, 0:1].astype(jnp.float32)  # (tq, 1) sublane vector
     pyq = posq_ref[0, :, 1:2].astype(jnp.float32)
     pxk = posk_ref[0, 0, :].astype(jnp.float32)  # (np,) lane vector
     pyk = posk_ref[0, 1, :].astype(jnp.float32)
-    dx = pxk[None, :] - pxq  # (tq, np)
-    dy = pyk[None, :] - pyq
+    dx = (pxk[None, :] - pxq).astype(geom)  # (tq, np)
+    dy = (pyk[None, :] - pyq).astype(geom)
     if clamp_hi is not None:
         # MixRes clamps table-frame coords to [0, tw-1] (mixres:527)
+        # (python scalars are weakly typed: dtype of dx/dy is preserved)
         R = rel_width
         dx = jnp.clip(dx + R, 0, clamp_hi) - R
         dy = jnp.clip(dy + R, 0, clamp_hi) - R
     d2 = dx * dx + dy * dy
     # dist = d2 * rsqrt(d2); sin = dy * rsqrt; cos = dx * rsqrt (0 at center)
-    inv = jnp.where(d2 > 0, jax.lax.rsqrt(jnp.where(d2 > 0, d2, 1.0)), 0.0)
+    one = jnp.ones((), geom)
+    zero = jnp.zeros((), geom)
+    inv = jnp.where(d2 > 0, jax.lax.rsqrt(jnp.where(d2 > 0, d2, one)), zero)
 
     # neighborhood mask: column j belongs iff cluster(j) in ncc[t]
-    col_idx = jax.lax.broadcasted_iota(jnp.int32, (tq, np_), 1)
+    col_idx = jax.lax.broadcasted_iota(jnp.int32, (tq, np_), 1) + col0
     col_cluster = col_idx // cs
     member = jnp.zeros((tq, np_), jnp.bool_)
     for j in range(nnc):
@@ -113,13 +126,15 @@ def _fwd_kernel(q_ref, k_ref, v_ref, posq_ref, posk_ref, ncc_ref, wpe_ref,
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32, precision=prec,
         )  # (tq, np)
-        bias = (
-            wpe_ref[0, hi] * dx
-            + wpe_ref[1, hi] * dy
-            + (wpe_ref[2, hi] * d2 + wpe_ref[3, hi] * dy
-               + wpe_ref[4, hi] * dx) * inv
+        w0 = wpe_ref[0, hi].astype(geom)
+        w1 = wpe_ref[1, hi].astype(geom)
+        w2 = wpe_ref[2, hi].astype(geom)
+        w3 = wpe_ref[3, hi].astype(geom)
+        w4 = wpe_ref[4, hi].astype(geom)
+        bias = w0 * dx + w1 * dy + (w2 * d2 + w3 * dy + w4 * dx) * inv
+        logits = jnp.where(
+            member, logits + bias.astype(jnp.float32) + bpe_ref[hi], NEG_INF
         )
-        logits = jnp.where(member, logits + bias + bpe_ref[hi], NEG_INF)
 
         blank = blank_ref[0, hi].astype(jnp.float32)  # (tq, 1)
         mx = jnp.maximum(logits.max(axis=-1, keepdims=True), blank)
@@ -138,13 +153,73 @@ def _fwd_kernel(q_ref, k_ref, v_ref, posq_ref, posk_ref, ncc_ref, wpe_ref,
         blankp_ref[0, hi] = pb.astype(blankp_ref.dtype)
 
 
+def _static_window(static_ncc, n, tq, cs, np_):
+    """Per-tile K/V window (host, numpy) for compile-time-constant
+    neighborhoods (the on-grid stage): each query tile only touches a
+    contiguous band of clusters thanks to space-filling-curve locality.
+
+    Returns ``(W, offs)`` — window width in rows and per-tile *element*
+    window starts (``pl.Element`` indexing; sublane-aligned, clamped in
+    bounds) — or ``None`` if windowing does not pay (window would cover
+    most of the token axis anyway).
+    """
+    import numpy as np
+
+    nt = n // tq
+    ncc_t = np.asarray(static_ncc).reshape(nt, tq, -1)
+    rmin = ncc_t.min(axis=(1, 2)) * cs
+    rmax = (ncc_t.max(axis=(1, 2)) + 1) * cs
+    # starts are quantized to 128 so Mosaic can prove the element starts
+    # respect both the sublane (K/V row dim) and lane (transposed K-pos)
+    # tilings; the index maps multiply back by 128. K/V are padded to
+    # np128 rows so the clamped windows still contain every tile's band.
+    np128 = -(-np_ // 128) * 128
+    rmin = rmin // 128 * 128
+    W = int((rmax - rmin).max())
+    W = -(-W // 128) * 128
+    if W * 2 > np128:
+        return None
+    offs = np.minimum(rmin, np128 - W) // 128
+    return W, np128, offs.astype(np.int32)
+
+
+class _StaticNcc:
+    """Hashable wrapper so host-constant neighborhoods can ride through
+    ``custom_vjp`` nondiff_argnums (which are closed over and must hash)."""
+
+    __slots__ = ("arr", "_key")
+
+    def __init__(self, arr):
+        import numpy as np
+
+        self.arr = np.asarray(arr, dtype=np.int32)
+        self._key = (self.arr.shape, self.arr.tobytes())
+
+    def __hash__(self):
+        return hash(self._key)
+
+    def __eq__(self, other):
+        return isinstance(other, _StaticNcc) and self._key == other._key
+
+
 def _attention_fwd_impl(q, k, v, ncc, pos, pe_kernel, pe_bias, blank_logit,
-                        cs, rel_width, clamp_width):
+                        cs, rel_width, clamp_width, static_ncc=None):
     b, h, n, c_ = q.shape
     nnc = ncc.shape[-1]
     kk = -(-n // cs)
     np_ = kk * cs
     pos_q = pos  # query positions stay unpadded (match q/ncc row count)
+    tq = _pick_tile(n, np_)
+    grid = (b, n // tq)
+    clamp_hi = clamp_width - 1 if clamp_width else None
+    hiprec = q.dtype == jnp.float32
+
+    window = None
+    if static_ncc is not None and not _INTERPRET:
+        window = _static_window(static_ncc.arr, n, tq, cs, np_)
+    if window is not None:
+        np_ = window[1]  # K/V padded so clamped windows stay in bounds
+
     if np_ != n:
         pad = np_ - n
         zeros = jnp.zeros((b, h, pad, c_), k.dtype)
@@ -153,22 +228,81 @@ def _attention_fwd_impl(q, k, v, ncc, pos, pe_kernel, pe_bias, blank_logit,
         pos = jnp.concatenate(
             [pos, jnp.zeros((b, pad, 2), pos.dtype)], axis=1
         )
-    tq = _pick_tile(n, np_)
-    grid = (b, n // tq)
-    clamp_hi = clamp_width - 1 if clamp_width else None
-    hiprec = q.dtype == jnp.float32
 
     kernel = functools.partial(
         _fwd_kernel, cs=cs, n_valid=n, rel_width=rel_width,
-        clamp_hi=clamp_hi, hiprec=hiprec,
+        clamp_hi=clamp_hi, hiprec=hiprec, windowed=window is not None,
     )
+    out_shape = [
+        jax.ShapeDtypeStruct((b, h, n, c_), q.dtype),
+        jax.ShapeDtypeStruct((b, h, n, 1), jnp.float32),
+    ]
+    out_specs = [
+        pl.BlockSpec((1, h, tq, c_), lambda bi, ti, *_: (bi, 0, ti, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, h, tq, 1), lambda bi, ti, *_: (bi, 0, ti, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    operands = (
+        q, k, v, pos_q, pos.transpose(0, 2, 1), ncc,
+        pe_kernel.astype(jnp.float32), pe_bias.astype(jnp.float32),
+        blank_logit,
+    )
+    compiler_params = pltpu.CompilerParams(
+        vmem_limit_bytes=100 * 1024 * 1024
+    )
+
+    if window is not None:
+        W, _, offs_np = window
+        # K/V (and K-positions) ride element-indexed windows: each query
+        # tile streams only its cluster band (pl.Element allows unaligned
+        # dynamic starts; Blocked indexing would force aligned W-blocks,
+        # which doubles W until it covers the whole token axis)
+        el = pl.Element
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, h, tq, c_),
+                             lambda bi, ti, offs: (bi, 0, ti, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((el(1), el(h), el(W), el(c_)),
+                             lambda bi, ti, offs: (bi, 0, offs[ti] * 128, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((el(1), el(h), el(W), el(c_)),
+                             lambda bi, ti, offs: (bi, 0, offs[ti] * 128, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, tq, 2),
+                             lambda bi, ti, offs: (bi, ti, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((el(1), el(2), el(W)),
+                             lambda bi, ti, offs: (bi, 0, offs[ti] * 128),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, tq, nnc),
+                             lambda bi, ti, offs: (bi, ti, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, h, tq, 1),
+                             lambda bi, ti, offs: (bi, 0, ti, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=out_specs,
+        )
+        out, blank_p = pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            interpret=_INTERPRET,
+            compiler_params=compiler_params,
+            out_shape=out_shape,
+        )(jnp.asarray(offs_np), *operands)
+        return out, blank_p
+
     out, blank_p = pl.pallas_call(
         kernel,
         grid=grid,
         interpret=_INTERPRET,
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024,
-        ),
+        compiler_params=compiler_params,
         in_specs=[
             pl.BlockSpec((1, h, tq, c_), lambda bi, ti: (bi, 0, ti, 0),
                          memory_space=pltpu.VMEM),
@@ -187,21 +321,9 @@ def _attention_fwd_impl(q, k, v, ncc, pos, pe_kernel, pe_bias, blank_logit,
             pl.BlockSpec((1, h, tq, 1), lambda bi, ti: (bi, 0, ti, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=[
-            pl.BlockSpec((1, h, tq, c_), lambda bi, ti: (bi, 0, ti, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, h, tq, 1), lambda bi, ti: (bi, 0, ti, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((b, h, n, c_), q.dtype),
-            jax.ShapeDtypeStruct((b, h, n, 1), jnp.float32),
-        ],
-    )(
-        q, k, v, pos_q, pos.transpose(0, 2, 1), ncc,
-        pe_kernel.astype(jnp.float32), pe_bias.astype(jnp.float32),
-        blank_logit,
-    )
+        out_specs=out_specs,
+        out_shape=out_shape,
+    )(*operands)
     return out, blank_p
 
 
@@ -229,7 +351,8 @@ def _pad_mask(ncc, cs, n, nnc):
 
 
 def fused_cluster_attention(q, k, v, ncc, pos, pe_kernel, pe_bias,
-                            blank_logit, cs, rel_width, clamp_width=0):
+                            blank_logit, cs, rel_width, clamp_width=0,
+                            static_ncc=None):
     """Fused local cluster attention (see module docstring).
 
     Args:
@@ -241,33 +364,39 @@ def fused_cluster_attention(q, k, v, ncc, pos, pe_kernel, pe_bias,
         blank_logit: (b, h, n, 1) logit of the learned blank slot.
         cs: cluster size; rel_width: R; clamp_width: table width for the
             MixRes clamp (0 = no clamp, AFF semantics).
+        static_ncc: optional host-constant (n, nnc) numpy copy of ``ncc``
+            (identical across the batch) — e.g. the on-grid stage, where
+            the token-to-cluster kNN is a pure function of (h, w). Enables
+            the windowed-K/V fast path: each query tile streams only its
+            cluster band instead of the full token axis.
 
     Returns:
         (out (b, h, n, c_), blank_p (b, h, n, 1) fp32).
     """
+    wrapped = None if static_ncc is None else _StaticNcc(static_ncc)
     return _fca(q, k, v, ncc, pos, pe_kernel, pe_bias, blank_logit,
-                cs, rel_width, clamp_width)
+                cs, rel_width, clamp_width, wrapped)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11))
 def _fca(q, k, v, ncc, pos, pe_kernel, pe_bias, blank_logit,
-         cs, rel_width, clamp_width):
+         cs, rel_width, clamp_width, static_ncc):
     return _attention_fwd_impl(
         q, k, v, ncc, pos, pe_kernel, pe_bias, blank_logit,
-        cs, rel_width, clamp_width,
+        cs, rel_width, clamp_width, static_ncc,
     )
 
 
 def _fca_fwd(q, k, v, ncc, pos, pe_kernel, pe_bias, blank_logit,
-             cs, rel_width, clamp_width):
+             cs, rel_width, clamp_width, static_ncc):
     out = _attention_fwd_impl(
         q, k, v, ncc, pos, pe_kernel, pe_bias, blank_logit,
-        cs, rel_width, clamp_width,
+        cs, rel_width, clamp_width, static_ncc,
     )
     return out, (q, k, v, ncc, pos, pe_kernel, pe_bias, blank_logit)
 
 
-def _fca_bwd(cs, rel_width, clamp_width, residuals, cotangents):
+def _fca_bwd(cs, rel_width, clamp_width, static_ncc, residuals, cotangents):
     q, k, v, ncc, pos, pe_kernel, pe_bias, blank_logit = residuals
     g_out, g_blankp = cotangents
     b, h, n, c_ = q.shape
