@@ -53,13 +53,46 @@ class ImageFolderDataset:
         return len(self.samples)
 
     def __getitem__(self, idx: int):
-        from PIL import Image
-
         path, label = self.samples[idx]
-        with Image.open(path) as img:
-            rng = random.Random(hash((self.seed, idx, os.getpid())))
-            arr = self.transform(img, rng)
+        rng_key = hash((self.seed, idx, os.getpid()))
+        arr = self._native_item(path, random.Random(rng_key))
+        if arr is None:
+            from PIL import Image
+
+            with Image.open(path) as img:
+                arr = self.transform(img, random.Random(rng_key))
         return arr.astype(np.float32), np.int32(label)
+
+    def _native_item(self, path: str, rng) -> Optional[np.ndarray]:
+        """Native decode+crop+resample fast path (C++ runtime); returns
+        None on any failure so the PIL path takes over with a fresh rng."""
+        if not path.lower().endswith((".jpg", ".jpeg")):
+            return None
+        from . import native_jpeg
+
+        if not native_jpeg.available():
+            return None
+        try:
+            with open(path, "rb") as f:
+                data = f.read()
+            dims = native_jpeg.jpeg_dims(data)
+            if dims is None:
+                return None
+            w, h = dims
+            box, interp, flip, fast = self.transform.native_geometry(w, h, rng)
+            arr8 = native_jpeg.decode_crop_resize(
+                data,
+                box,
+                (self.transform.size, self.transform.size),
+                flip=flip,
+                interpolation=interp,
+                fast_scale=fast,
+            )
+            if arr8 is None:
+                return None
+            return self.transform.finish_uint8(arr8, rng)
+        except (OSError, AttributeError):
+            return None
 
 
 class SyntheticDataset:

