@@ -116,6 +116,23 @@ def main(config, logger, host, num_hosts):
         int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(state.params)
     )
     logger.info(f"number of params: {n_params}")
+    if config.PRINT_FLOPS:
+        # ptflops-equivalent MACs report (reference main.py:108-111), from
+        # XLA's cost analysis of the program that actually runs
+        from ml_autofocusformermod_tpu.utils.flops import model_complexity
+
+        try:
+            cost = model_complexity(
+                model,
+                {"params": state.params, "batch_stats": state.batch_stats},
+                img,
+            )
+            logger.info(
+                f"number of GFLOPs: {cost['flops'] / 1e9:.2f} "
+                f"(XLA cost analysis, fwd per image)"
+            )
+        except Exception as e:  # cost analysis is best-effort on some backends
+            logger.warning(f"FLOPs estimate unavailable: {e}")
 
     mesh = pmesh.make_mesh(
         data=config.TPU.MESH_DATA, model=config.TPU.MESH_MODEL

@@ -251,6 +251,9 @@ def default_config() -> CfgNode:
     c.SEED = 0
     c.EVAL_MODE = False
     c.THROUGHPUT_MODE = False
+    # ptflops-equivalent startup FLOPs report (reference main.py:108-111);
+    # off by default: it costs one extra XLA compile of a batch-1 forward
+    c.PRINT_FLOPS = False
     c.LOCAL_RANK = 0
     return c
 
