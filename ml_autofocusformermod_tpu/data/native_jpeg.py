@@ -84,6 +84,12 @@ def get_lib() -> Optional[ctypes.CDLL]:
             ctypes.c_double, ctypes.c_double, ctypes.c_double, ctypes.c_double,
             ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int, u8p,
         ]
+        lib.aff_randaugment.restype = ctypes.c_int
+        lib.aff_randaugment.argtypes = [
+            u8p, ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_double),
+            ctypes.c_int,
+        ]
         if lib.aff_version() != 1:
             _lib_failed = True
             return None
@@ -144,6 +150,25 @@ def decode_crop_resize(
         _FILTERS.get(interpolation, 1), int(bool(fast_scale)), _u8ptr(out),
     )
     return None if rc else out
+
+
+def randaugment_inplace(arr: np.ndarray, op_ids, params) -> bool:
+    """Execute a pre-drawn RandAugment plan in place on (h, w, 3) uint8.
+
+    ``op_ids``/``params`` come from ``RandAugment.plan`` mapped through
+    ``transforms.RA_OP_IDS``. Returns False if the native runtime is
+    unavailable (caller falls back to the PIL executor on the SAME plan,
+    so the rng stream never diverges).
+    """
+    lib = get_lib()
+    if lib is None or not op_ids:
+        return lib is not None and not op_ids
+    ids = (ctypes.c_int * len(op_ids))(*op_ids)
+    ps = (ctypes.c_double * len(params))(*params)
+    rc = lib.aff_randaugment(
+        _u8ptr(arr), arr.shape[1], arr.shape[0], ids, ps, len(op_ids)
+    )
+    return rc == 0
 
 
 def resample_rgb(

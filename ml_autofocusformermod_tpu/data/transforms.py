@@ -225,24 +225,113 @@ def _make_ops():
 _RA_OPS = _make_ops()
 
 
+# Op ids shared with the native (C++) executor — order matches _RA_OPS.
+RA_OP_IDS = {
+    "auto_contrast": 0, "equalize": 1, "invert": 2, "rotate": 3,
+    "posterize_inc": 4, "solarize_inc": 5, "solarize_add": 6, "color": 7,
+    "contrast": 8, "brightness": 9, "sharpness": 10, "shear_x": 11,
+    "shear_y": 12, "translate_x": 13, "translate_y": 14,
+}
+_RA_SIGNED = {  # ops whose magnitude draws a random sign (inside the op)
+    "rotate", "color", "contrast", "brightness", "sharpness",
+    "shear_x", "shear_y", "translate_x", "translate_y",
+}
+
+
 class RandAugment:
     """``rand-mN-mstdS-inc1``: apply ``num_layers`` random ops at magnitude
-    ``N`` jittered by N(0, S)."""
+    ``N`` jittered by N(0, S).
+
+    ``plan`` pre-draws every random decision (op choice, magnitude jitter,
+    sign) so the PIL and native executors consume the rng identically.
+    """
 
     def __init__(self, magnitude: int = 9, mstd: float = 0.5, num_layers: int = 2):
         self.magnitude = magnitude
         self.mstd = mstd
         self.num_layers = num_layers
 
-    def __call__(self, img: Image.Image, rng: random.Random) -> Image.Image:
+    def plan(self, rng: random.Random, img_size: Tuple[int, int]):
+        """[(op_name, signed_param)] with rng draws in the PIL op order."""
+        w, h = img_size
+        ops = []
         for _ in range(self.num_layers):
             op = rng.choice(_RA_OPS)
+            name = op.__name__
             level = self.magnitude
             if self.mstd > 0:
                 level = rng.gauss(level, self.mstd)
             level = min(_MAX_LEVEL, max(0.0, level))
-            img = op(img, level, rng)
+            frac = level / _MAX_LEVEL
+            if name == "rotate":
+                param = _randomly_negate(frac * 30.0, rng)
+            elif name == "posterize_inc":
+                param = max(1, 4 - int(frac * 4))
+            elif name == "solarize_inc":
+                param = max(0, 256 - int(frac * 256))
+            elif name == "solarize_add":
+                param = int(frac * 110)
+            elif name in ("color", "contrast", "brightness", "sharpness"):
+                param = 1.0 + _randomly_negate(_enhance_factor(level) - 1.0, rng)
+            elif name in ("shear_x", "shear_y"):
+                param = _randomly_negate(frac * 0.3, rng)
+            elif name == "translate_x":
+                param = _randomly_negate(frac * 0.45, rng) * w
+            elif name == "translate_y":
+                param = _randomly_negate(frac * 0.45, rng) * h
+            else:  # auto_contrast / equalize / invert
+                param = 0.0
+            ops.append((name, param))
+        return ops
+
+    @staticmethod
+    def apply_plan_pil(img: Image.Image, ops) -> Image.Image:
+        """Execute a pre-drawn plan with PIL (fallback executor)."""
+        for name, p in ops:
+            if name == "auto_contrast":
+                img = ImageOps.autocontrast(img)
+            elif name == "equalize":
+                img = ImageOps.equalize(img)
+            elif name == "invert":
+                img = ImageOps.invert(img)
+            elif name == "rotate":
+                img = img.rotate(p, Image.BILINEAR)
+            elif name == "posterize_inc":
+                img = ImageOps.posterize(img, int(p))
+            elif name == "solarize_inc":
+                img = ImageOps.solarize(img, int(p))
+            elif name == "solarize_add":
+                arr = np.asarray(img).astype(np.int32)
+                arr = np.where(arr < 128, np.clip(arr + int(p), 0, 255), arr)
+                img = Image.fromarray(arr.astype(np.uint8))
+            elif name == "color":
+                img = ImageEnhance.Color(img).enhance(p)
+            elif name == "contrast":
+                img = ImageEnhance.Contrast(img).enhance(p)
+            elif name == "brightness":
+                img = ImageEnhance.Brightness(img).enhance(p)
+            elif name == "sharpness":
+                img = ImageEnhance.Sharpness(img).enhance(p)
+            elif name == "shear_x":
+                img = img.transform(
+                    img.size, Image.AFFINE, (1, p, 0, 0, 1, 0), Image.BILINEAR
+                )
+            elif name == "shear_y":
+                img = img.transform(
+                    img.size, Image.AFFINE, (1, 0, 0, p, 1, 0), Image.BILINEAR
+                )
+            elif name == "translate_x":
+                img = img.transform(
+                    img.size, Image.AFFINE, (1, 0, p, 0, 1, 0), Image.BILINEAR
+                )
+            elif name == "translate_y":
+                img = img.transform(
+                    img.size, Image.AFFINE, (1, 0, 0, 0, 1, p), Image.BILINEAR
+                )
         return img
+
+    def __call__(self, img: Image.Image, rng: random.Random) -> Image.Image:
+        return self.apply_plan_pil(img, self.plan(rng, img.size))
 
 
 def parse_rand_augment(spec: str) -> Optional[RandAugment]:
@@ -331,9 +420,18 @@ class TrainTransform:
         """Augment + normalize an already-cropped (size, size, 3) uint8
         image (tail of the pipeline after a native decode)."""
         if self.rand_augment is not None:
-            img = Image.fromarray(arr)
-            img = self.rand_augment(img, rng)
-            out = normalize(img)
+            plan = self.rand_augment.plan(rng, (arr.shape[1], arr.shape[0]))
+            from . import native_jpeg
+
+            arr = np.ascontiguousarray(arr)
+            if native_jpeg.randaugment_inplace(
+                arr, [RA_OP_IDS[n] for n, _ in plan], [p for _, p in plan]
+            ):
+                out = (arr.astype(np.float32) / 255.0 - IMAGENET_MEAN) \
+                    / IMAGENET_STD
+            else:  # PIL executor on the same plan: rng stream identical
+                img = RandAugment.apply_plan_pil(Image.fromarray(arr), plan)
+                out = normalize(img)
         elif self.color_jitter > 0:
             img = Image.fromarray(arr)
             img = color_jitter(img, self.color_jitter, rng)

@@ -153,9 +153,247 @@ void resample(const uint8_t* in, int in_w, int in_h, double bx, double by,
   }
 }
 
+// --- RandAugment op executors (PIL-parity) ------------------------------
+// Python samples the plan (op ids + signed params, owning the rng); this
+// side only executes. Numerics follow PIL's implementations: ITU-R 601-2
+// integer luma, enhance = blend against a degenerate image, histogram ops
+// per PIL's exact LUT construction, affine ops = inverse-map bilinear with
+// black fill and half-pixel centers.
+
+inline int pil_luma(int r, int g, int b) {
+  return (19595 * r + 38470 * g + 7471 * b + 0x8000) >> 16;
+}
+
+void blend_inplace(uint8_t* img, const uint8_t* degenerate, size_t n,
+                   double factor) {
+  for (size_t i = 0; i < n; i++) {
+    // PIL's ImagingBlend truncates (no +0.5 rounding)
+    int v = static_cast<int>(degenerate[i] + factor * (img[i] - degenerate[i]));
+    img[i] = static_cast<uint8_t>(std::min(std::max(v, 0), 255));
+  }
+}
+
+void op_lut(uint8_t* img, size_t npx, const uint8_t lut[3][256]) {
+  for (size_t i = 0; i < npx; i++) {
+    img[i * 3] = lut[0][img[i * 3]];
+    img[i * 3 + 1] = lut[1][img[i * 3 + 1]];
+    img[i * 3 + 2] = lut[2][img[i * 3 + 2]];
+  }
+}
+
+void op_autocontrast(uint8_t* img, int w, int h) {
+  size_t npx = static_cast<size_t>(w) * h;
+  uint8_t lut[3][256];
+  for (int c = 0; c < 3; c++) {
+    int hist[256] = {0};
+    for (size_t i = 0; i < npx; i++) hist[img[i * 3 + c]]++;
+    int lo = 0, hi = 255;
+    while (lo < 256 && hist[lo] == 0) lo++;
+    while (hi >= 0 && hist[hi] == 0) hi--;
+    if (hi <= lo) {
+      for (int i = 0; i < 256; i++) lut[c][i] = static_cast<uint8_t>(i);
+    } else {
+      double scale = 255.0 / (hi - lo);
+      double offset = -lo * scale;
+      for (int i = 0; i < 256; i++) {
+        int ix = static_cast<int>(i * scale + offset);
+        lut[c][i] = static_cast<uint8_t>(std::min(std::max(ix, 0), 255));
+      }
+    }
+  }
+  op_lut(img, npx, lut);
+}
+
+void op_equalize(uint8_t* img, int w, int h) {
+  size_t npx = static_cast<size_t>(w) * h;
+  uint8_t lut[3][256];
+  for (int c = 0; c < 3; c++) {
+    int hist[256] = {0};
+    for (size_t i = 0; i < npx; i++) hist[img[i * 3 + c]]++;
+    // PIL ImageOps.equalize LUT
+    long total = 0;
+    int nonzero = 0, last_nz = 0;
+    for (int i = 0; i < 256; i++)
+      if (hist[i]) { total += hist[i]; nonzero++; last_nz = i; }
+    long step = nonzero <= 1 ? 0 : (total - hist[last_nz]) / 255;
+    if (step == 0) {
+      for (int i = 0; i < 256; i++) lut[c][i] = static_cast<uint8_t>(i);
+    } else {
+      long n = step / 2;
+      for (int i = 0; i < 256; i++) {
+        long v = n / step;
+        lut[c][i] = static_cast<uint8_t>(std::min(v, 255L));
+        n += hist[i];
+      }
+    }
+  }
+  op_lut(img, npx, lut);
+}
+
+void op_affine_bilinear(uint8_t* img, int w, int h, double a, double b,
+                        double c, double d, double e, double f) {
+  // out(x, y) = in(a*(x+.5)+b*(y+.5)+c-.5, d*(x+.5)+e*(y+.5)+f-.5),
+  // black fill outside (PIL transform AFFINE + BILINEAR semantics)
+  std::vector<uint8_t> src(img, img + static_cast<size_t>(w) * h * 3);
+  for (int y = 0; y < h; y++) {
+    uint8_t* orow = img + static_cast<size_t>(y) * w * 3;
+    double xs0 = a * 0.5 + b * (y + 0.5) + c - 0.5;
+    double ys0 = d * 0.5 + e * (y + 0.5) + f - 0.5;
+    for (int x = 0; x < w; x++) {
+      double xs = xs0 + a * x;
+      double ys = ys0 + d * x;
+      // PIL fills when the pre-shift source coord leaves [0, size)
+      if (xs < -0.5 || xs >= w - 0.5 || ys < -0.5 || ys >= h - 0.5) {
+        orow[x * 3] = orow[x * 3 + 1] = orow[x * 3 + 2] = 0;
+        continue;
+      }
+      int x0 = static_cast<int>(std::floor(xs));
+      int y0 = static_cast<int>(std::floor(ys));
+      double fx = xs - x0, fy = ys - y0;
+      int x1 = x0 + 1, y1 = y0 + 1;
+      double w00 = (1 - fx) * (1 - fy), w10 = fx * (1 - fy);
+      double w01 = (1 - fx) * fy, w11 = fx * fy;
+      // PIL's bilinear filter clamps edge taps to the border pixel
+      auto tap = [&](int xx, int yy) -> const uint8_t* {
+        xx = std::min(std::max(xx, 0), w - 1);
+        yy = std::min(std::max(yy, 0), h - 1);
+        return &src[(static_cast<size_t>(yy) * w + xx) * 3];
+      };
+      const uint8_t* p00 = tap(x0, y0);
+      const uint8_t* p10 = tap(x1, y0);
+      const uint8_t* p01 = tap(x0, y1);
+      const uint8_t* p11 = tap(x1, y1);
+      for (int ch = 0; ch < 3; ch++) {
+        double v = w00 * p00[ch] + w10 * p10[ch] + w01 * p01[ch] +
+                   w11 * p11[ch];
+        orow[x * 3 + ch] = clip8(v);
+      }
+    }
+  }
+}
+
+void op_smooth(const uint8_t* src, uint8_t* dst, int w, int h) {
+  // PIL ImageFilter.SMOOTH: 3x3 [1 1 1; 1 5 1; 1 1 1] / 13, border copied
+  std::memcpy(dst, src, static_cast<size_t>(w) * h * 3);
+  for (int y = 1; y < h - 1; y++) {
+    for (int x = 1; x < w - 1; x++) {
+      for (int c = 0; c < 3; c++) {
+        int s = 0;
+        for (int dy = -1; dy <= 1; dy++)
+          for (int dx = -1; dx <= 1; dx++) {
+            int wgt = (dx == 0 && dy == 0) ? 5 : 1;
+            s += wgt * src[(static_cast<size_t>(y + dy) * w + x + dx) * 3 + c];
+          }
+        dst[(static_cast<size_t>(y) * w + x) * 3 + c] =
+            clip8(s / 13.0);
+      }
+    }
+  }
+}
+
 }  // namespace
 
 extern "C" {
+
+// Execute a pre-drawn RandAugment plan in place on (h, w, 3) uint8 RGB.
+// Op ids follow transforms.RA_OP_IDS; params carry the already-signed
+// magnitudes. Returns 0 on success.
+int aff_randaugment(uint8_t* img, int w, int h, const int* op_ids,
+                    const double* params, int n_ops) {
+  size_t npx = static_cast<size_t>(w) * h;
+  size_t nb = npx * 3;
+  std::vector<uint8_t> scratch;
+  for (int oi = 0; oi < n_ops; oi++) {
+    double p = params[oi];
+    switch (op_ids[oi]) {
+      case 0:  // auto_contrast
+        op_autocontrast(img, w, h);
+        break;
+      case 1:  // equalize
+        op_equalize(img, w, h);
+        break;
+      case 2:  // invert
+        for (size_t i = 0; i < nb; i++) img[i] = 255 - img[i];
+        break;
+      case 3: {  // rotate(deg CCW) about center — PIL negates the angle
+        double ang = -p * M_PI / 180.0;
+        double co = std::cos(ang), si = std::sin(ang);
+        double cx = w / 2.0, cy = h / 2.0;
+        op_affine_bilinear(img, w, h, co, si, cx - co * cx - si * cy,
+                           -si, co, cy + si * cx - co * cy);
+        break;
+      }
+      case 4: {  // posterize(bits)
+        int bits = static_cast<int>(p);
+        uint8_t mask = static_cast<uint8_t>(255 << (8 - bits));
+        for (size_t i = 0; i < nb; i++) img[i] &= mask;
+        break;
+      }
+      case 5: {  // solarize(threshold)
+        int t = static_cast<int>(p);
+        for (size_t i = 0; i < nb; i++)
+          if (img[i] >= t) img[i] = 255 - img[i];
+        break;
+      }
+      case 6: {  // solarize_add
+        int add = static_cast<int>(p);
+        for (size_t i = 0; i < nb; i++)
+          if (img[i] < 128)
+            img[i] = static_cast<uint8_t>(
+                std::min(std::max(img[i] + add, 0), 255));
+        break;
+      }
+      case 7: {  // color (saturation): degenerate = grayscale
+        scratch.resize(nb);
+        for (size_t i = 0; i < npx; i++) {
+          uint8_t l = static_cast<uint8_t>(
+              pil_luma(img[i * 3], img[i * 3 + 1], img[i * 3 + 2]));
+          scratch[i * 3] = scratch[i * 3 + 1] = scratch[i * 3 + 2] = l;
+        }
+        blend_inplace(img, scratch.data(), nb, p);
+        break;
+      }
+      case 8: {  // contrast: degenerate = solid mean-luma gray
+        long sum = 0;
+        for (size_t i = 0; i < npx; i++)
+          sum += pil_luma(img[i * 3], img[i * 3 + 1], img[i * 3 + 2]);
+        uint8_t mean = static_cast<uint8_t>(
+            std::min<long>(std::max<long>(
+                static_cast<long>(sum / static_cast<double>(npx) + 0.5), 0),
+                255));
+        scratch.assign(nb, mean);
+        blend_inplace(img, scratch.data(), nb, p);
+        break;
+      }
+      case 9: {  // brightness: degenerate = black
+        scratch.assign(nb, 0);
+        blend_inplace(img, scratch.data(), nb, p);
+        break;
+      }
+      case 10: {  // sharpness: degenerate = SMOOTH-filtered
+        scratch.resize(nb);
+        op_smooth(img, scratch.data(), w, h);
+        blend_inplace(img, scratch.data(), nb, p);
+        break;
+      }
+      case 11:  // shear_x
+        op_affine_bilinear(img, w, h, 1, p, 0, 0, 1, 0);
+        break;
+      case 12:  // shear_y
+        op_affine_bilinear(img, w, h, 1, 0, 0, p, 1, 0);
+        break;
+      case 13:  // translate_x (pixels)
+        op_affine_bilinear(img, w, h, 1, 0, p, 0, 1, 0);
+        break;
+      case 14:  // translate_y
+        op_affine_bilinear(img, w, h, 1, 0, 0, 0, 1, p);
+        break;
+      default:
+        return 1;
+    }
+  }
+  return 0;
+}
 
 int aff_version() { return 1; }
 

@@ -188,3 +188,44 @@ def test_dataset_end_to_end(tmp_path):
     # force the PIL fallback and compare: same rng key -> same output
     native = ds._native_item(ds.samples[1][0], random.Random(0))
     assert native is not None  # the native path really ran
+
+
+_RA_CASES = {
+    "rotate": [17.3, -8.0], "posterize_inc": [2], "solarize_inc": [120],
+    "solarize_add": [70], "color": [0.4, 1.7], "contrast": [0.4, 1.7],
+    "brightness": [0.4, 1.7], "sharpness": [0.3, 1.8],
+    "shear_x": [0.22, -0.1], "shear_y": [0.22], "translate_x": [40.5, -33.25],
+    "translate_y": [40.5], "auto_contrast": [0.0], "equalize": [0.0],
+    "invert": [0.0],
+}
+
+
+def test_randaugment_ops_match_pil():
+    """Every native RandAugment op matches the PIL executor to <=1 LSB."""
+    from ml_autofocusformermod_tpu.data.transforms import RA_OP_IDS, RandAugment
+
+    x = np.linspace(0, 20, 224)
+    y = np.linspace(0, 15, 224)
+    img = ((np.sin(x)[None, :, None] * np.cos(y)[:, None, None] * 0.5 + 0.5)
+           * 255).astype(np.uint8)
+    img = np.ascontiguousarray(np.repeat(img, 3, 2))
+    for name, ps in _RA_CASES.items():
+        for p in ps:
+            ref = np.asarray(RandAugment.apply_plan_pil(
+                Image.fromarray(img.copy()), [(name, p)]))
+            got = img.copy()
+            assert nj.randaugment_inplace(got, [RA_OP_IDS[name]], [float(p)])
+            assert np.abs(ref.astype(int) - got.astype(int)).max() <= 1, name
+
+
+def test_randaugment_plan_rng_stream():
+    """plan() draws from rng exactly like the original inline sampling, so
+    PIL/native paths see the same stream; both executors run the same plan."""
+    from ml_autofocusformermod_tpu.data.transforms import RandAugment
+
+    ra = RandAugment(magnitude=9, mstd=0.5)
+    for seed in range(20):
+        p1 = ra.plan(random.Random(seed), (224, 224))
+        p2 = ra.plan(random.Random(seed), (224, 224))
+        assert p1 == p2
+        assert len(p1) == 2
