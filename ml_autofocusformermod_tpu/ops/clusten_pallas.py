@@ -78,79 +78,84 @@ def _fwd_kernel(*refs, cs: int, n_valid: int, rel_width: int,
         (q_ref, k_ref, v_ref, posq_ref, posk_ref, ncc_ref, wpe_ref,
          bpe_ref, blank_ref, out_ref, blankp_ref) = refs
         col0 = 0
+    gb = q_ref.shape[0]  # images per kernel instance (small-n amortization)
     nh = q_ref.shape[1]
     tq = q_ref.shape[2]
     np_ = k_ref.shape[2]
     nnc = ncc_ref.shape[2]
     prec = jax.lax.Precision.HIGHEST if hiprec else None
-
-    # --- geometry, shared across heads (the VPU-bound part) ---
-    # K positions arrive transposed (2, np) so x/y are LANE vectors —
-    # broadcasting a sublane-extracted column across lanes forces a
-    # catastrophic relayout (189MB of register spills at trivial sizes).
-    # geometry stays fp32: bf16 compares are unsupported on v5e and bf16
-    # rsqrt/fma chains crash the LLO scheduler (tried; SIGABRT)
     geom = jnp.float32
-    pxq = posq_ref[0, :, 0:1].astype(jnp.float32)  # (tq, 1) sublane vector
-    pyq = posq_ref[0, :, 1:2].astype(jnp.float32)
-    pxk = posk_ref[0, 0, :].astype(jnp.float32)  # (np,) lane vector
-    pyk = posk_ref[0, 1, :].astype(jnp.float32)
-    dx = (pxk[None, :] - pxq).astype(geom)  # (tq, np)
-    dy = (pyk[None, :] - pyq).astype(geom)
-    if clamp_hi is not None:
-        # MixRes clamps table-frame coords to [0, tw-1] (mixres:527)
-        # (python scalars are weakly typed: dtype of dx/dy is preserved)
-        R = rel_width
-        dx = jnp.clip(dx + R, 0, clamp_hi) - R
-        dy = jnp.clip(dy + R, 0, clamp_hi) - R
-    d2 = dx * dx + dy * dy
-    # dist = d2 * rsqrt(d2); sin = dy * rsqrt; cos = dx * rsqrt (0 at center)
-    one = jnp.ones((), geom)
-    zero = jnp.zeros((), geom)
-    inv = jnp.where(d2 > 0, jax.lax.rsqrt(jnp.where(d2 > 0, d2, one)), zero)
 
-    # neighborhood mask: column j belongs iff cluster(j) in ncc[t]
-    col_idx = jax.lax.broadcasted_iota(jnp.int32, (tq, np_), 1) + col0
-    col_cluster = col_idx // cs
-    member = jnp.zeros((tq, np_), jnp.bool_)
-    for j in range(nnc):
-        member = member | (col_cluster == ncc_ref[0, :, j][:, None])
-    member = member & (col_idx < n_valid)
-
-    # --- per-head attention (MXU) over the shared geometry ---
-    for hi in range(nh):
-        q = q_ref[0, hi]  # (tq, c_)
-        k = k_ref[0, hi]
-        v = v_ref[0, hi]
-        logits = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=prec,
-        )  # (tq, np)
-        w0 = wpe_ref[0, hi].astype(geom)
-        w1 = wpe_ref[1, hi].astype(geom)
-        w2 = wpe_ref[2, hi].astype(geom)
-        w3 = wpe_ref[3, hi].astype(geom)
-        w4 = wpe_ref[4, hi].astype(geom)
-        bias = w0 * dx + w1 * dy + (w2 * d2 + w3 * dy + w4 * dx) * inv
-        logits = jnp.where(
-            member, logits + bias.astype(jnp.float32) + bpe_ref[hi], NEG_INF
+    for bi in range(gb):
+        # --- geometry, shared across heads (the VPU-bound part) ---
+        # K positions arrive transposed (2, np) so x/y are LANE vectors —
+        # broadcasting a sublane-extracted column across lanes forces a
+        # catastrophic relayout (189MB of register spills at trivial sizes).
+        # geometry stays fp32: bf16 compares are unsupported on v5e and
+        # bf16 rsqrt/fma chains crash the LLO scheduler (tried; SIGABRT)
+        pxq = posq_ref[bi, :, 0:1].astype(jnp.float32)  # (tq, 1) sublane vec
+        pyq = posq_ref[bi, :, 1:2].astype(jnp.float32)
+        pxk = posk_ref[bi, 0, :].astype(jnp.float32)  # (np,) lane vector
+        pyk = posk_ref[bi, 1, :].astype(jnp.float32)
+        dx = (pxk[None, :] - pxq).astype(geom)  # (tq, np)
+        dy = (pyk[None, :] - pyq).astype(geom)
+        if clamp_hi is not None:
+            # MixRes clamps table-frame coords to [0, tw-1] (mixres:527)
+            # (python scalars are weakly typed: dx/dy dtype is preserved)
+            R = rel_width
+            dx = jnp.clip(dx + R, 0, clamp_hi) - R
+            dy = jnp.clip(dy + R, 0, clamp_hi) - R
+        d2 = dx * dx + dy * dy
+        # dist = d2 * rsqrt(d2); sin = dy * rsqrt; cos = dx * rsqrt (0 at 0)
+        one = jnp.ones((), geom)
+        zero = jnp.zeros((), geom)
+        inv = jnp.where(
+            d2 > 0, jax.lax.rsqrt(jnp.where(d2 > 0, d2, one)), zero
         )
 
-        blank = blank_ref[0, hi].astype(jnp.float32)  # (tq, 1)
-        mx = jnp.maximum(logits.max(axis=-1, keepdims=True), blank)
-        p = jnp.exp(logits - mx)
-        p = jnp.where(member, p, 0.0)
-        pb = jnp.exp(blank - mx)
-        denom = p.sum(axis=-1, keepdims=True) + pb
-        pb = pb / denom
-        p = (p / denom).astype(v.dtype)
+        # neighborhood mask: column j belongs iff cluster(j) in ncc[t]
+        col_idx = jax.lax.broadcasted_iota(jnp.int32, (tq, np_), 1) + col0
+        col_cluster = col_idx // cs
+        member = jnp.zeros((tq, np_), jnp.bool_)
+        for j in range(nnc):
+            member = member | (col_cluster == ncc_ref[bi, :, j][:, None])
+        member = member & (col_idx < n_valid)
 
-        out = jax.lax.dot_general(
-            p, v, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=prec,
-        )
-        out_ref[0, hi] = out.astype(out_ref.dtype)
-        blankp_ref[0, hi] = pb.astype(blankp_ref.dtype)
+        # --- per-head attention (MXU) over the shared geometry ---
+        for hi in range(nh):
+            q = q_ref[bi, hi]  # (tq, c_)
+            k = k_ref[bi, hi]
+            v = v_ref[bi, hi]
+            logits = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=prec,
+            )  # (tq, np)
+            w0 = wpe_ref[0, hi].astype(geom)
+            w1 = wpe_ref[1, hi].astype(geom)
+            w2 = wpe_ref[2, hi].astype(geom)
+            w3 = wpe_ref[3, hi].astype(geom)
+            w4 = wpe_ref[4, hi].astype(geom)
+            bias = w0 * dx + w1 * dy + (w2 * d2 + w3 * dy + w4 * dx) * inv
+            logits = jnp.where(
+                member, logits + bias.astype(jnp.float32) + bpe_ref[hi],
+                NEG_INF,
+            )
+
+            blank = blank_ref[bi, hi].astype(jnp.float32)  # (tq, 1)
+            mx = jnp.maximum(logits.max(axis=-1, keepdims=True), blank)
+            p = jnp.exp(logits - mx)
+            p = jnp.where(member, p, 0.0)
+            pb = jnp.exp(blank - mx)
+            denom = p.sum(axis=-1, keepdims=True) + pb
+            pb = pb / denom
+            p = (p / denom).astype(v.dtype)
+
+            out = jax.lax.dot_general(
+                p, v, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=prec,
+            )
+            out_ref[bi, hi] = out.astype(out_ref.dtype)
+            blankp_ref[bi, hi] = pb.astype(blankp_ref.dtype)
 
 
 def _static_window(static_ncc, n, tq, cs, np_):
@@ -219,6 +224,19 @@ def _attention_fwd_impl(q, k, v, ncc, pos, pe_kernel, pe_bias, blank_logit,
         window = _static_window(static_ncc.arr, n, tq, cs, np_)
     if window is not None:
         np_ = window[1]  # K/V padded so clamped windows stay in bounds
+
+    # Small-n stages would otherwise launch one tiny kernel instance per
+    # image (b instances of (tq, np) work — per-invocation overhead
+    # dominates); batch gb images into each instance instead.
+    gb = 1
+    if window is None and tq == n:
+        while (
+            gb < 8  # unrolled gb*h body: keep compile size bounded
+            and gb * 2 <= b
+            and b % (gb * 2) == 0
+            and (gb * 2) * n <= 8192
+        ):
+            gb *= 2
 
     if np_ != n:
         pad = np_ - n
@@ -300,28 +318,33 @@ def _attention_fwd_impl(q, k, v, ncc, pos, pe_kernel, pe_bias, blank_logit,
 
     out, blank_p = pl.pallas_call(
         kernel,
-        grid=grid,
+        grid=(b // gb, n // tq),
         interpret=_INTERPRET,
         compiler_params=compiler_params,
         in_specs=[
-            pl.BlockSpec((1, h, tq, c_), lambda bi, ti: (bi, 0, ti, 0),
+            pl.BlockSpec((gb, h, tq, c_), lambda bi, ti: (bi, 0, ti, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, h, np_, c_), lambda bi, ti: (bi, 0, 0, 0),
+            pl.BlockSpec((gb, h, np_, c_), lambda bi, ti: (bi, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, h, np_, c_), lambda bi, ti: (bi, 0, 0, 0),
+            pl.BlockSpec((gb, h, np_, c_), lambda bi, ti: (bi, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tq, 2), lambda bi, ti: (bi, ti, 0),
+            pl.BlockSpec((gb, tq, 2), lambda bi, ti: (bi, ti, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 2, np_), lambda bi, ti: (bi, 0, 0),
+            pl.BlockSpec((gb, 2, np_), lambda bi, ti: (bi, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tq, nnc), lambda bi, ti: (bi, ti, 0),
+            pl.BlockSpec((gb, tq, nnc), lambda bi, ti: (bi, ti, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),  # (5, h) pos_embed weights
             pl.BlockSpec(memory_space=pltpu.SMEM),  # (h,) pos_embed bias
-            pl.BlockSpec((1, h, tq, 1), lambda bi, ti: (bi, 0, ti, 0),
+            pl.BlockSpec((gb, h, tq, 1), lambda bi, ti: (bi, 0, ti, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=out_specs,
+        out_specs=[
+            pl.BlockSpec((gb, h, tq, c_), lambda bi, ti: (bi, 0, ti, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((gb, h, tq, 1), lambda bi, ti: (bi, 0, ti, 0),
+                         memory_space=pltpu.VMEM),
+        ],
         out_shape=out_shape,
     )(*operands)
     return out, blank_p
