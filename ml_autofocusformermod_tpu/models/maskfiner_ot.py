@@ -145,6 +145,10 @@ def build_oracle_teacher(
                 keep_old_scale=mr.KEEP_OLD_SCALE,
                 scale=i,
                 add_image_data_to_all=mr.ADD_IMAGE_DATA_TO_ALL,
+                use_pallas=(
+                    bool(config.TPU.USE_PALLAS)
+                    and jax.default_backend() == "tpu"
+                ),
                 **common,
             )
         else:

@@ -239,6 +239,10 @@ def build_up_down(config, dtype, upscale_ratios=None) -> UpDownBackbone:
                 keep_old_scale=mr.KEEP_OLD_SCALE,
                 scale=scale,
                 add_image_data_to_all=mr.ADD_IMAGE_DATA_TO_ALL,
+                use_pallas=(
+                    bool(config.TPU.USE_PALLAS)
+                    and jax.default_backend() == "tpu"
+                ),
                 **common,
             )
         else:
