@@ -45,6 +45,9 @@ NEG_INF = -1e30
 
 # escape hatch so CPU tests can exercise the kernel via the interpreter
 _INTERPRET = os.environ.get("MLAFF_PALLAS_INTERPRET", "0") == "1"
+# fused Pallas backward (flash-style recompute); set =0 to fall back to the
+# XLA one-hot-matmul backward (reference algebra, kept as the oracle)
+_PALLAS_BWD = os.environ.get("MLAFF_PALLAS_BWD", "1") == "1"
 
 
 def _pick_tile(n: int, np_: int) -> int:
@@ -350,6 +353,319 @@ def _attention_fwd_impl(q, k, v, ncc, pos, pe_kernel, pe_bias, blank_logit,
     return out, blank_p
 
 
+def _bwd_kernel(*refs, cs: int, n_valid: int, rel_width: int,
+                clamp_hi: Optional[int], hiprec: bool, windowed: bool):
+    """Fused backward: recomputes the forward softmax per query tile (flash
+    style — nothing but the inputs is saved), then produces dq/dblank per
+    tile, accumulates dk/dv into a per-batch VMEM block across query tiles
+    (the reference's ``fastAtomicAdd`` scatters become in-VMEM accumulation
+    over a sequential grid — deterministic by construction), and emits
+    per-tile pos-embed-grad partials packed into an (8, 128) tile
+    (rows 0-4 = d_pe_kernel features, row 5 = d_pe_bias; lanes = heads)
+    for a final XLA-level sum."""
+    if windowed:
+        (off_ref, q_ref, k_ref, v_ref, posq_ref, posk_ref, ncc_ref, wpe_ref,
+         bpe_ref, blank_ref, gout_ref, gblank_ref,
+         dq_ref, dblank_ref, dk_ref, dv_ref, dpe_ref) = refs
+        col0 = off_ref[pl.program_id(1)] * 128
+    else:
+        (q_ref, k_ref, v_ref, posq_ref, posk_ref, ncc_ref, wpe_ref,
+         bpe_ref, blank_ref, gout_ref, gblank_ref,
+         dq_ref, dblank_ref, dk_ref, dv_ref, dpe_ref) = refs
+        col0 = 0
+    gb = q_ref.shape[0]
+    nh = q_ref.shape[1]
+    tq = q_ref.shape[2]
+    W = k_ref.shape[2]
+    nnc = ncc_ref.shape[2]
+    ti = pl.program_id(1)
+    prec = jax.lax.Precision.HIGHEST if hiprec else None
+
+    @pl.when(ti == 0)
+    def _init_kv():
+        dk_ref[...] = jnp.zeros(dk_ref.shape, dk_ref.dtype)
+        dv_ref[...] = jnp.zeros(dv_ref.shape, dv_ref.dtype)
+
+    row_i = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+    lane_i = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+    dpe_tile = jnp.zeros((8, 128), jnp.float32)
+
+    for bi in range(gb):
+        pxq = posq_ref[bi, :, 0:1].astype(jnp.float32)
+        pyq = posq_ref[bi, :, 1:2].astype(jnp.float32)
+        pxk = posk_ref[bi, 0, :].astype(jnp.float32)
+        pyk = posk_ref[bi, 1, :].astype(jnp.float32)
+        dx = pxk[None, :] - pxq
+        dy = pyk[None, :] - pyq
+        if clamp_hi is not None:
+            R = rel_width
+            dx = jnp.clip(dx + R, 0, clamp_hi) - R
+            dy = jnp.clip(dy + R, 0, clamp_hi) - R
+        d2 = dx * dx + dy * dy
+        inv = jnp.where(
+            d2 > 0, jax.lax.rsqrt(jnp.where(d2 > 0, d2, 1.0)), 0.0
+        )
+        dist = d2 * inv
+        sinp = dy * inv
+        cosp = dx * inv
+
+        col_idx = jax.lax.broadcasted_iota(jnp.int32, (tq, W), 1) + col0
+        col_cluster = col_idx // cs
+        member = jnp.zeros((tq, W), jnp.bool_)
+        for j in range(nnc):
+            member = member | (col_cluster == ncc_ref[bi, :, j][:, None])
+        member = member & (col_idx < n_valid)
+
+        for hi in range(nh):
+            q = q_ref[bi, hi]
+            k = k_ref[bi, hi]
+            v = v_ref[bi, hi]
+            md = k.dtype
+            logits = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=prec,
+            )
+            bias = (
+                wpe_ref[0, hi] * dx + wpe_ref[1, hi] * dy
+                + (wpe_ref[2, hi] * d2 + wpe_ref[3, hi] * dy
+                   + wpe_ref[4, hi] * dx) * inv
+            )
+            logits = jnp.where(member, logits + bias + bpe_ref[hi], NEG_INF)
+            blank = blank_ref[bi, hi].astype(jnp.float32)  # (tq, 1)
+            mx = jnp.maximum(logits.max(axis=-1, keepdims=True), blank)
+            p = jnp.exp(logits - mx)
+            p = jnp.where(member, p, 0.0)
+            pb = jnp.exp(blank - mx)
+            pinv = 1.0 / (p.sum(axis=-1, keepdims=True) + pb)
+            p = p * pinv
+            pb = pb * pinv
+
+            go = gout_ref[bi, hi]  # (tq, c_)
+            gpb = gblank_ref[bi, hi].astype(jnp.float32)  # (tq, 1)
+            dp = jax.lax.dot_general(
+                go, v, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=prec,
+            )  # (tq, W)
+            s = (dp * p).sum(axis=-1, keepdims=True) + gpb * pb
+            dl = p * (dp - s)  # (tq, W) fp32; zero at non-member slots
+            dblank_ref[bi, hi] = (pb * (gpb - s)).astype(dblank_ref.dtype)
+
+            dlm = dl.astype(md)
+            dq = jax.lax.dot_general(
+                dlm, k, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=prec,
+            )
+            dq_ref[bi, hi] = dq.astype(dq_ref.dtype)
+
+            dkw = jax.lax.dot_general(
+                dlm, q, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=prec,
+            )  # (W, c_)
+            dvw = jax.lax.dot_general(
+                p.astype(md), go, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=prec,
+            )  # (W, c_)
+            if windowed:
+                dk_ref[bi, hi, pl.ds(col0, W)] = (
+                    dk_ref[bi, hi, pl.ds(col0, W)] + dkw
+                )
+                dv_ref[bi, hi, pl.ds(col0, W)] = (
+                    dv_ref[bi, hi, pl.ds(col0, W)] + dvw
+                )
+            else:
+                dk_ref[bi, hi] = dk_ref[bi, hi] + dkw
+                dv_ref[bi, hi] = dv_ref[bi, hi] + dvw
+
+            for f, plane in enumerate((dx, dy, dist, sinp, cosp)):
+                val = (dl * plane).sum()
+                dpe_tile = dpe_tile + jnp.where(
+                    (row_i == f) & (lane_i == hi), val, 0.0
+                )
+            dpe_tile = dpe_tile + jnp.where(
+                (row_i == 5) & (lane_i == hi), dl.sum(), 0.0
+            )
+    dpe_ref[0, 0] = dpe_tile
+
+
+def _attention_bwd_impl(q, k, v, ncc, pos, pe_kernel, pe_bias, blank_logit,
+                        g_out, g_blankp, cs, rel_width, clamp_width,
+                        static_ncc):
+    """Pallas backward; static decisions (tile, window, gb) mirror the
+    forward exactly so window offsets line up."""
+    b, h, n, c_ = q.shape
+    nnc = ncc.shape[-1]
+    kk = -(-n // cs)
+    np_ = kk * cs
+    pos_q = pos
+    tq = _pick_tile(n, np_)
+    clamp_hi = clamp_width - 1 if clamp_width else None
+    hiprec = q.dtype == jnp.float32
+
+    window = None
+    if static_ncc is not None and not _INTERPRET:
+        window = _static_window(static_ncc.arr, n, tq, cs, np_)
+    if window is not None:
+        np_ = window[1]
+
+    gb = 1
+    if window is None and tq == n:
+        while (
+            gb < 8
+            and gb * 2 <= b
+            and b % (gb * 2) == 0
+            and (gb * 2) * n <= 8192
+        ):
+            gb *= 2
+
+    if np_ != n:
+        pad = np_ - n
+        zeros = jnp.zeros((b, h, pad, c_), k.dtype)
+        k = jnp.concatenate([k, zeros], axis=2)
+        v = jnp.concatenate([v, zeros], axis=2)
+        pos = jnp.concatenate(
+            [pos, jnp.zeros((b, pad, 2), pos.dtype)], axis=1
+        )
+
+    nt = n // tq
+    kernel = functools.partial(
+        _bwd_kernel, cs=cs, n_valid=n, rel_width=rel_width,
+        clamp_hi=clamp_hi, hiprec=hiprec, windowed=window is not None,
+    )
+    out_shape = [
+        jax.ShapeDtypeStruct((b, h, n, c_), q.dtype),        # dq
+        jax.ShapeDtypeStruct((b, h, n, 1), jnp.float32),     # dblank
+        jax.ShapeDtypeStruct((b, h, np_, c_), jnp.float32),  # dk (padded)
+        jax.ShapeDtypeStruct((b, h, np_, c_), jnp.float32),  # dv (padded)
+        jax.ShapeDtypeStruct((b // gb, nt, 8, 128), jnp.float32),  # pe parts
+    ]
+    operands = (
+        q, k, v, pos_q, pos.transpose(0, 2, 1), ncc,
+        pe_kernel.astype(jnp.float32), pe_bias.astype(jnp.float32),
+        blank_logit, g_out, g_blankp,
+    )
+    compiler_params = pltpu.CompilerParams(
+        vmem_limit_bytes=100 * 1024 * 1024
+    )
+
+    if window is not None:
+        W, _, offs_np = window
+        el = pl.Element
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(b, nt),
+            in_specs=[
+                pl.BlockSpec((1, h, tq, c_),
+                             lambda bi, ti, offs: (bi, 0, ti, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((el(1), el(h), el(W), el(c_)),
+                             lambda bi, ti, offs: (bi, 0, offs[ti] * 128, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((el(1), el(h), el(W), el(c_)),
+                             lambda bi, ti, offs: (bi, 0, offs[ti] * 128, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, tq, 2),
+                             lambda bi, ti, offs: (bi, ti, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((el(1), el(2), el(W)),
+                             lambda bi, ti, offs: (bi, 0, offs[ti] * 128),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, tq, nnc),
+                             lambda bi, ti, offs: (bi, ti, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, h, tq, 1),
+                             lambda bi, ti, offs: (bi, 0, ti, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, h, tq, c_),
+                             lambda bi, ti, offs: (bi, 0, ti, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, h, tq, 1),
+                             lambda bi, ti, offs: (bi, 0, ti, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, h, tq, c_),
+                             lambda bi, ti, offs: (bi, 0, ti, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, h, tq, 1),
+                             lambda bi, ti, offs: (bi, 0, ti, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, h, np_, c_),
+                             lambda bi, ti, offs: (bi, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, h, np_, c_),
+                             lambda bi, ti, offs: (bi, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, 8, 128),
+                             lambda bi, ti, offs: (bi, ti, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+        )
+        outs = pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            interpret=_INTERPRET,
+            compiler_params=compiler_params,
+            out_shape=out_shape,
+        )(jnp.asarray(offs_np), *operands)
+    else:
+        outs = pl.pallas_call(
+            kernel,
+            grid=(b // gb, nt),
+            interpret=_INTERPRET,
+            compiler_params=compiler_params,
+            in_specs=[
+                pl.BlockSpec((gb, h, tq, c_), lambda bi, ti: (bi, 0, ti, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((gb, h, np_, c_), lambda bi, ti: (bi, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((gb, h, np_, c_), lambda bi, ti: (bi, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((gb, tq, 2), lambda bi, ti: (bi, ti, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((gb, 2, np_), lambda bi, ti: (bi, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((gb, tq, nnc), lambda bi, ti: (bi, ti, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec((gb, h, tq, 1), lambda bi, ti: (bi, 0, ti, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((gb, h, tq, c_), lambda bi, ti: (bi, 0, ti, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((gb, h, tq, 1), lambda bi, ti: (bi, 0, ti, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((gb, h, tq, c_), lambda bi, ti: (bi, 0, ti, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((gb, h, tq, 1), lambda bi, ti: (bi, 0, ti, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((gb, h, np_, c_), lambda bi, ti: (bi, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((gb, h, np_, c_), lambda bi, ti: (bi, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, 8, 128), lambda bi, ti: (bi, ti, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_shape=out_shape,
+        )(*operands)
+
+    dq, dblank, dk, dv, dpe = outs
+    dpe_sum = dpe.sum(axis=(0, 1))  # (8, 128)
+    d_pe_kernel = dpe_sum[:5, :h]
+    d_pe_bias = dpe_sum[5, :h]
+    return (
+        dq,
+        dk[:, :, :n].astype(k.dtype),
+        dv[:, :, :n].astype(v.dtype),
+        d_pe_kernel.astype(pe_kernel.dtype),
+        d_pe_bias.astype(pe_bias.dtype),
+        dblank.astype(blank_logit.dtype),
+    )
+
+
 def _rel_feat(pos, ncc, cs, rel_width, clamp_width):
     """(b, n, m, 5) rel-pos features for the backward pass (XLA level)."""
     pos_g = gather_clusters_onehot(pos[:, None], ncc, cs)[:, 0]  # b n m 2
@@ -422,6 +738,12 @@ def _fca_fwd(q, k, v, ncc, pos, pe_kernel, pe_bias, blank_logit,
 def _fca_bwd(cs, rel_width, clamp_width, static_ncc, residuals, cotangents):
     q, k, v, ncc, pos, pe_kernel, pe_bias, blank_logit = residuals
     g_out, g_blankp = cotangents
+    if _PALLAS_BWD:
+        dq, dk, dv, d_pe_kernel, d_pe_bias, dblank = _attention_bwd_impl(
+            q, k, v, ncc, pos, pe_kernel, pe_bias, blank_logit,
+            g_out, g_blankp, cs, rel_width, clamp_width, static_ncc,
+        )
+        return (dq, dk, dv, None, None, d_pe_kernel, d_pe_bias, dblank)
     b, h, n, c_ = q.shape
     nnc = ncc.shape[-1]
     kk = -(-n // cs)
