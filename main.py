@@ -39,6 +39,9 @@ def parse_option():
     parser.add_argument("--throughput", action="store_true",
                         help="Test throughput only")
     parser.add_argument("--blr", type=float, help="base learning rate")
+    parser.add_argument("--profile", type=str, default=None, metavar="DIR",
+                        help="capture a jax.profiler trace of a few train "
+                             "steps into DIR (XProf/TensorBoard format)")
     parser.add_argument("--epochs", type=int, help="epochs")
     parser.add_argument("--local_rank", type=int, default=0)
     args, _ = parser.parse_known_args()
@@ -233,6 +236,18 @@ def main(config, logger, host, num_hosts):
     )
 
     train_step = jax.jit(T.make_train_step(config, model, tx, schedule))
+
+    from ml_autofocusformermod_tpu.utils.profiling import StepProfiler
+
+    profiler = StepProfiler(
+        config.PROFILE, start=config.PROFILE_START, count=config.PROFILE_STEPS
+    )
+    if config.PROFILE and host == 0:
+        logger.info(
+            f"profiler: tracing steps [{config.PROFILE_START}, "
+            f"{config.PROFILE_START + config.PROFILE_STEPS}) to {config.PROFILE}"
+        )
+
     logger.info("Start training")
     start = time.time()
     prev_ratios = None
@@ -257,6 +272,7 @@ def main(config, logger, host, num_hosts):
         meters = {k: AverageMeter() for k in ("loss", "grad_norm")}
         t0 = time.time()
         for idx, batch in enumerate(train_loader):
+            profiler.step(int(state.step))
             sharded = pmesh.shard_batch(mesh, batch)
             with mesh:
                 state, metrics = train_step(state, sharded, rng)
@@ -313,6 +329,7 @@ def main(config, logger, host, num_hosts):
                 e1, e5, _ = validate(ema_vars)
                 logger.info(f"EMA Accuracy: {e1:.2f}% / {e5:.2f}%")
 
+    profiler.stop()
     total = time.time() - start
     logger.info(
         f"Training time {datetime.timedelta(seconds=int(total))}"

@@ -254,6 +254,11 @@ def default_config() -> CfgNode:
     # ptflops-equivalent startup FLOPs report (reference main.py:108-111);
     # off by default: it costs one extra XLA compile of a batch-1 forward
     c.PRINT_FLOPS = False
+    # jax.profiler trace output dir; when set, a window of train steps
+    # (PROFILE_START..+PROFILE_STEPS) is traced for XProf/TensorBoard
+    c.PROFILE = ""
+    c.PROFILE_START = 10
+    c.PROFILE_STEPS = 5
     c.LOCAL_RANK = 0
     return c
 
@@ -308,6 +313,8 @@ def load_config(
         config.THROUGHPUT_MODE = True
     if overrides.get("epochs"):
         config.TRAIN.EPOCHS = overrides["epochs"]
+    if overrides.get("profile"):
+        config.PROFILE = overrides["profile"]
 
     config.OUTPUT = os.path.join(config.OUTPUT, config.MODEL.NAME, config.TAG)
     return config.freeze()
@@ -328,4 +335,5 @@ def get_config(args) -> CfgNode:
         eval=getattr(args, "eval", False),
         throughput=getattr(args, "throughput", False),
         epochs=getattr(args, "epochs", None),
+        profile=getattr(args, "profile", None),
     )

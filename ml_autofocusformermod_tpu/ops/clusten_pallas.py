@@ -50,6 +50,35 @@ _INTERPRET = os.environ.get("MLAFF_PALLAS_INTERPRET", "0") == "1"
 _PALLAS_BWD = os.environ.get("MLAFF_PALLAS_BWD", "1") == "1"
 
 
+def _choose_tiling(n: int, np_: int, cs: int, static_ncc) -> Tuple[int, Optional[tuple]]:
+    """(tq, window) for the kernel grid.
+
+    Windowed path (host-constant neighborhoods): the kernel's cost is VPU
+    work over the masked (tq, W) planes plus re-streaming the K/V window
+    per instance, and W shrinks as tiles get smaller (each tile spans a
+    narrower cluster band) — so pick tq minimizing ``nt * W * (tq + kappa)``
+    where kappa ≈ 16 rows models the HBM re-stream per instance (measured
+    on v5e: tq=112/W=896 beats the VMEM-max tq=448/W=1280 by ~25%).
+    Non-windowed path: largest VMEM-fitting tile (dense K/V is shared per
+    instance, so bigger tiles amortize it best).
+    """
+    if static_ncc is not None and not _INTERPRET:
+        kappa = 16
+        best = None
+        t = 8
+        while t <= min(n, 512):
+            if n % t == 0:
+                win = _static_window(static_ncc.arr, n, t, cs, np_)
+                if win is not None:
+                    cost = (n // t) * win[0] * (t + kappa)
+                    if best is None or cost < best[0]:
+                        best = (cost, t, win)
+            t += 8
+        if best is not None:
+            return best[1], best[2]
+    return _pick_tile(n, np_), None
+
+
 def _pick_tile(n: int, np_: int) -> int:
     """Largest divisor tile whose fp32 working planes fit the VMEM budget.
 
@@ -217,22 +246,29 @@ def _attention_fwd_impl(q, k, v, ncc, pos, pe_kernel, pe_bias, blank_logit,
     kk = -(-n // cs)
     np_ = kk * cs
     pos_q = pos  # query positions stay unpadded (match q/ncc row count)
-    tq = _pick_tile(n, np_)
+    tq, window = _choose_tiling(n, np_, cs, static_ncc)
     grid = (b, n // tq)
     clamp_hi = clamp_width - 1 if clamp_width else None
     hiprec = q.dtype == jnp.float32
 
-    window = None
-    if static_ncc is not None and not _INTERPRET:
-        window = _static_window(static_ncc.arr, n, tq, cs, np_)
     if window is not None:
         np_ = window[1]  # K/V padded so clamped windows stay in bounds
 
-    # Small-n stages would otherwise launch one tiny kernel instance per
-    # image (b instances of (tq, np) work — per-invocation overhead
-    # dominates); batch gb images into each instance instead.
+    # Batch gb images per kernel instance: tiny per-image instances are
+    # DMA-latency/invocation-overhead bound (measured: halving the masked
+    # area alone moves stage-1 time by ~1%), so amortize across images —
+    # the window offsets depend only on the tile, never the image.
     gb = 1
-    if window is None and tq == n:
+    if window is not None:
+        kv_bytes = 2 * h * window[0] * c_ * 4
+        while (
+            gb < 8
+            and gb * 2 <= b
+            and b % (gb * 2) == 0
+            and (gb * 2) * kv_bytes <= 8 * 1024 * 1024
+        ):
+            gb *= 2
+    elif tq == n:
         while (
             gb < 8  # unrolled gb*h body: keep compile size bounded
             and gb * 2 <= b
@@ -282,33 +318,43 @@ def _attention_fwd_impl(q, k, v, ncc, pos, pe_kernel, pe_bias, blank_logit,
         el = pl.Element
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
-            grid=grid,
+            grid=(b // gb, n // tq),
             in_specs=[
-                pl.BlockSpec((1, h, tq, c_),
+                pl.BlockSpec((gb, h, tq, c_),
                              lambda bi, ti, offs: (bi, 0, ti, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((el(1), el(h), el(W), el(c_)),
-                             lambda bi, ti, offs: (bi, 0, offs[ti] * 128, 0),
+                pl.BlockSpec((el(gb), el(h), el(W), el(c_)),
+                             lambda bi, ti, offs:
+                             (bi * gb, 0, offs[ti] * 128, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((el(1), el(h), el(W), el(c_)),
-                             lambda bi, ti, offs: (bi, 0, offs[ti] * 128, 0),
+                pl.BlockSpec((el(gb), el(h), el(W), el(c_)),
+                             lambda bi, ti, offs:
+                             (bi * gb, 0, offs[ti] * 128, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, tq, 2),
+                pl.BlockSpec((gb, tq, 2),
                              lambda bi, ti, offs: (bi, ti, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((el(1), el(2), el(W)),
-                             lambda bi, ti, offs: (bi, 0, offs[ti] * 128),
+                pl.BlockSpec((el(gb), el(2), el(W)),
+                             lambda bi, ti, offs:
+                             (bi * gb, 0, offs[ti] * 128),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, tq, nnc),
+                pl.BlockSpec((gb, tq, nnc),
                              lambda bi, ti, offs: (bi, ti, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec(memory_space=pltpu.SMEM),
                 pl.BlockSpec(memory_space=pltpu.SMEM),
-                pl.BlockSpec((1, h, tq, 1),
+                pl.BlockSpec((gb, h, tq, 1),
                              lambda bi, ti, offs: (bi, 0, ti, 0),
                              memory_space=pltpu.VMEM),
             ],
-            out_specs=out_specs,
+            out_specs=[
+                pl.BlockSpec((gb, h, tq, c_),
+                             lambda bi, ti, offs: (bi, 0, ti, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((gb, h, tq, 1),
+                             lambda bi, ti, offs: (bi, 0, ti, 0),
+                             memory_space=pltpu.VMEM),
+            ],
         )
         out, blank_p = pl.pallas_call(
             kernel,
@@ -497,18 +543,25 @@ def _attention_bwd_impl(q, k, v, ncc, pos, pe_kernel, pe_bias, blank_logit,
     kk = -(-n // cs)
     np_ = kk * cs
     pos_q = pos
-    tq = _pick_tile(n, np_)
+    tq, window = _choose_tiling(n, np_, cs, static_ncc)
     clamp_hi = clamp_width - 1 if clamp_width else None
     hiprec = q.dtype == jnp.float32
 
-    window = None
-    if static_ncc is not None and not _INTERPRET:
-        window = _static_window(static_ncc.arr, n, tq, cs, np_)
     if window is not None:
         np_ = window[1]
 
     gb = 1
-    if window is None and tq == n:
+    if window is not None:
+        # dk/dv accumulate in fp32 VMEM blocks of np_ rows per image
+        kv_bytes = 2 * h * (window[0] + np_) * c_ * 4
+        while (
+            gb < 8
+            and gb * 2 <= b
+            and b % (gb * 2) == 0
+            and (gb * 2) * kv_bytes <= 24 * 1024 * 1024
+        ):
+            gb *= 2
+    elif tq == n:
         while (
             gb < 8
             and gb * 2 <= b
@@ -552,49 +605,52 @@ def _attention_bwd_impl(q, k, v, ncc, pos, pe_kernel, pe_bias, blank_logit,
         el = pl.Element
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
-            grid=(b, nt),
+            grid=(b // gb, nt),
             in_specs=[
-                pl.BlockSpec((1, h, tq, c_),
+                pl.BlockSpec((gb, h, tq, c_),
                              lambda bi, ti, offs: (bi, 0, ti, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((el(1), el(h), el(W), el(c_)),
-                             lambda bi, ti, offs: (bi, 0, offs[ti] * 128, 0),
+                pl.BlockSpec((el(gb), el(h), el(W), el(c_)),
+                             lambda bi, ti, offs:
+                             (bi * gb, 0, offs[ti] * 128, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((el(1), el(h), el(W), el(c_)),
-                             lambda bi, ti, offs: (bi, 0, offs[ti] * 128, 0),
+                pl.BlockSpec((el(gb), el(h), el(W), el(c_)),
+                             lambda bi, ti, offs:
+                             (bi * gb, 0, offs[ti] * 128, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, tq, 2),
+                pl.BlockSpec((gb, tq, 2),
                              lambda bi, ti, offs: (bi, ti, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((el(1), el(2), el(W)),
-                             lambda bi, ti, offs: (bi, 0, offs[ti] * 128),
+                pl.BlockSpec((el(gb), el(2), el(W)),
+                             lambda bi, ti, offs:
+                             (bi * gb, 0, offs[ti] * 128),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, tq, nnc),
+                pl.BlockSpec((gb, tq, nnc),
                              lambda bi, ti, offs: (bi, ti, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec(memory_space=pltpu.SMEM),
                 pl.BlockSpec(memory_space=pltpu.SMEM),
-                pl.BlockSpec((1, h, tq, 1),
+                pl.BlockSpec((gb, h, tq, 1),
                              lambda bi, ti, offs: (bi, 0, ti, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, h, tq, c_),
+                pl.BlockSpec((gb, h, tq, c_),
                              lambda bi, ti, offs: (bi, 0, ti, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, h, tq, 1),
+                pl.BlockSpec((gb, h, tq, 1),
                              lambda bi, ti, offs: (bi, 0, ti, 0),
                              memory_space=pltpu.VMEM),
             ],
             out_specs=[
-                pl.BlockSpec((1, h, tq, c_),
+                pl.BlockSpec((gb, h, tq, c_),
                              lambda bi, ti, offs: (bi, 0, ti, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, h, tq, 1),
+                pl.BlockSpec((gb, h, tq, 1),
                              lambda bi, ti, offs: (bi, 0, ti, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, h, np_, c_),
+                pl.BlockSpec((gb, h, np_, c_),
                              lambda bi, ti, offs: (bi, 0, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, h, np_, c_),
+                pl.BlockSpec((gb, h, np_, c_),
                              lambda bi, ti, offs: (bi, 0, 0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, 1, 8, 128),
