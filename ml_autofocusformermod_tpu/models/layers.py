@@ -200,33 +200,31 @@ class ClusterAttention(nn.Module):
             2 * c, dtype=self.dtype, kernel_init=trunc_normal_init(), name="kv"
         )(feat)
 
-        q = q.reshape(b, n, h, c_).transpose(0, 2, 1, 3)  # b h n c_
-        kv = kv.reshape(b, n, h, 2, c_).transpose(3, 0, 2, 1, 4)
-        key, v = kv[0], kv[1]  # b h n c_
-
         # learned per-head relative position bias from rel-pos features
         pos_embed = AffineHead(5, h, dtype=self.dtype, name="pos_embed")
 
         blank_k = self.param("blank_k", nn.initializers.normal(1.0), (c,))
         blank_v = self.param("blank_v", nn.initializers.normal(1.0), (c,))
-        blank_attn = (
-            q * blank_k.astype(q.dtype).reshape(1, h, 1, c_)
-        ).sum(-1, keepdims=True)  # b h n 1
 
         if fused:
             from ..ops.clusten_pallas import fused_cluster_attention
 
-            out, blank_p = fused_cluster_attention(
-                q, key, v, nearest_cluster, pos,
-                pos_embed.kernel, pos_embed.bias, blank_attn,
-                cluster_size, self.rel_pos_width, self.clamp_width,
+            # token-major straight through: q (b,n,c) / kv (b,n,2c) feed the
+            # kernel exactly as projected — no head splits at the XLA level
+            out = fused_cluster_attention(
+                q, kv, nearest_cluster, pos,
+                pos_embed.kernel, pos_embed.bias,
+                blank_k.reshape(h, c_).T, blank_v.reshape(h, c_),
+                h, cluster_size, self.rel_pos_width, self.clamp_width,
                 static_ncc=static_ncc,
             )
-            blank_out = blank_p.astype(out.dtype) * blank_v.astype(
-                out.dtype
-            ).reshape(1, h, 1, c_)
-            out = (out + blank_out).transpose(0, 2, 1, 3).reshape(b, n, c)
         else:
+            q = q.reshape(b, n, h, c_).transpose(0, 2, 1, 3)  # b h n c_
+            kv = kv.reshape(b, n, h, 2, c_).transpose(3, 0, 2, 1, 4)
+            key, v = kv[0], kv[1]  # b h n c_
+            blank_attn = (
+                q * blank_k.astype(q.dtype).reshape(1, h, 1, c_)
+            ).sum(-1, keepdims=True)  # b h n 1
             bias = pos_embed(pe_feat.astype(self.dtype)).transpose(0, 3, 1, 2)
             if global_attn:
                 attn = jnp.einsum(

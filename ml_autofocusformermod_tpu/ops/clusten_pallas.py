@@ -2,28 +2,43 @@
 
 Fuses what the reference runs as two CUDA kernels plus torch glue
 (CLUSTEN-QK -> +rel-pos bias -> mask -> blank-token softmax -> CLUSTEN-AV,
-``aff_transformer.py:120-155``) into ONE kernel per (batch, head,
+``aff_transformer.py:120-155``) into ONE kernel per (image-group,
 query-tile).
 
 TPU-first design — dense-within-tile with cluster masking, not gathers:
 each query's neighborhood is a union of whole clusters, so instead of
 gathering K/V rows (irregular memory movement the MXU hates), the kernel
-computes the *dense* q @ K^T over all tokens of the (batch, head) — K/V
-live in VMEM — and masks logits down to each token's ``nnc`` nearest
-clusters. Dense QK costs ``n * c_`` MACs per query on the MXU versus
+computes the *dense* q @ K^T over all tokens of the image — K/V live in
+VMEM — and masks logits down to each token's ``nnc`` nearest clusters.
+Dense QK costs ``n * c_`` MACs per query on the MXU versus
 ``nnc * n * c_`` for a one-hot gather formulation — the "wasteful" dense
 matmul is the cheapest formulation on this hardware. The relative-position
 bias is evaluated in-kernel from coordinates (5 fused VPU planes), so no
 ``(b, h, n, m)`` bias tensor ever reaches HBM.
 
+Operand layout is token-major ``(b, n, h*c_)`` for q / ``(b, n, h*2*c_)``
+for the fused kv — exactly what the q/kv Linear projections produce
+(kv channel structure ``(h, 2, c_)``, matching the reference's
+``kv.view(b, n, h, 2, c_)`` at ``aff_transformer.py:110``) — with per-head
+lane slices taken inside the kernel, so no head-split transposes, K/V
+splits, or output merges ever exist at the XLA level (measured: that glue
+cost ~9 ms per AFF-Mini b128 forward).
+The learned blank token (``aff_transformer.py:139-147``) is folded in
+too: its logit is ``q @ blank_k`` on the MXU and its value contribution
+``pb * blank_v`` is added before the single ``(b, n, c)`` output is
+written, eliminating the reference's extra attention slot and the
+pathological ``(b, h, n, 1)`` tensors it implies on TPU tiling.
+
 Numerics vs the reference: identical except that padded cluster slots are
 excluded from the softmax instead of contributing ``exp(l0 - 100) ~ 1e-40``
 — invisible at fp32 (verified by the parity suite).
 
-The backward pass (custom_vjp) runs the one-hot-matmul algebra at the XLA
-level: the scatter-adds the reference hand-writes with ``fastAtomicAdd``
-(``clustenqk_cuda_kernel.cu:125``) become transposed one-hot matmuls —
-deterministic by construction.
+The backward pass (custom_vjp) is a second Pallas kernel (flash-style
+recompute): the scatter-adds the reference hand-writes with
+``fastAtomicAdd`` (``clustenqk_cuda_kernel.cu:125``) become in-VMEM
+accumulation over the sequential query-tile grid — deterministic by
+construction. An XLA one-hot-matmul backward is kept as the oracle
+(``MLAFF_PALLAS_BWD=0``).
 """
 
 from __future__ import annotations
@@ -50,35 +65,6 @@ _INTERPRET = os.environ.get("MLAFF_PALLAS_INTERPRET", "0") == "1"
 _PALLAS_BWD = os.environ.get("MLAFF_PALLAS_BWD", "1") == "1"
 
 
-def _choose_tiling(n: int, np_: int, cs: int, static_ncc) -> Tuple[int, Optional[tuple]]:
-    """(tq, window) for the kernel grid.
-
-    Windowed path (host-constant neighborhoods): the kernel's cost is VPU
-    work over the masked (tq, W) planes plus re-streaming the K/V window
-    per instance, and W shrinks as tiles get smaller (each tile spans a
-    narrower cluster band) — so pick tq minimizing ``nt * W * (tq + kappa)``
-    where kappa ≈ 16 rows models the HBM re-stream per instance (measured
-    on v5e: tq=112/W=896 beats the VMEM-max tq=448/W=1280 by ~25%).
-    Non-windowed path: largest VMEM-fitting tile (dense K/V is shared per
-    instance, so bigger tiles amortize it best).
-    """
-    if static_ncc is not None and not _INTERPRET:
-        kappa = 16
-        best = None
-        t = 8
-        while t <= min(n, 512):
-            if n % t == 0:
-                win = _static_window(static_ncc.arr, n, t, cs, np_)
-                if win is not None:
-                    cost = (n // t) * win[0] * (t + kappa)
-                    if best is None or cost < best[0]:
-                        best = (cost, t, win)
-            t += 8
-        if best is not None:
-            return best[1], best[2]
-    return _pick_tile(n, np_), None
-
-
 def _pick_tile(n: int, np_: int) -> int:
     """Largest divisor tile whose fp32 working planes fit the VMEM budget.
 
@@ -99,95 +85,32 @@ def _pick_tile(n: int, np_: int) -> int:
     return best if best is not None else n
 
 
-def _fwd_kernel(*refs, cs: int, n_valid: int, rel_width: int,
-                clamp_hi: Optional[int], hiprec: bool, windowed: bool):
-    if windowed:
-        # scalar-prefetch ref with per-tile element window starts comes first
-        (off_ref, q_ref, k_ref, v_ref, posq_ref, posk_ref, ncc_ref, wpe_ref,
-         bpe_ref, blank_ref, out_ref, blankp_ref) = refs
-        col0 = off_ref[pl.program_id(1)] * 128
-    else:
-        (q_ref, k_ref, v_ref, posq_ref, posk_ref, ncc_ref, wpe_ref,
-         bpe_ref, blank_ref, out_ref, blankp_ref) = refs
-        col0 = 0
-    gb = q_ref.shape[0]  # images per kernel instance (small-n amortization)
-    nh = q_ref.shape[1]
-    tq = q_ref.shape[2]
-    np_ = k_ref.shape[2]
-    nnc = ncc_ref.shape[2]
-    prec = jax.lax.Precision.HIGHEST if hiprec else None
-    geom = jnp.float32
+def _choose_tiling(n: int, np_: int, cs: int, static_ncc) -> Tuple[int, Optional[tuple]]:
+    """(tq, window) for the kernel grid.
 
-    for bi in range(gb):
-        # --- geometry, shared across heads (the VPU-bound part) ---
-        # K positions arrive transposed (2, np) so x/y are LANE vectors —
-        # broadcasting a sublane-extracted column across lanes forces a
-        # catastrophic relayout (189MB of register spills at trivial sizes).
-        # geometry stays fp32: bf16 compares are unsupported on v5e and
-        # bf16 rsqrt/fma chains crash the LLO scheduler (tried; SIGABRT)
-        pxq = posq_ref[bi, :, 0:1].astype(jnp.float32)  # (tq, 1) sublane vec
-        pyq = posq_ref[bi, :, 1:2].astype(jnp.float32)
-        pxk = posk_ref[bi, 0, :].astype(jnp.float32)  # (np,) lane vector
-        pyk = posk_ref[bi, 1, :].astype(jnp.float32)
-        dx = (pxk[None, :] - pxq).astype(geom)  # (tq, np)
-        dy = (pyk[None, :] - pyq).astype(geom)
-        if clamp_hi is not None:
-            # MixRes clamps table-frame coords to [0, tw-1] (mixres:527)
-            # (python scalars are weakly typed: dx/dy dtype is preserved)
-            R = rel_width
-            dx = jnp.clip(dx + R, 0, clamp_hi) - R
-            dy = jnp.clip(dy + R, 0, clamp_hi) - R
-        d2 = dx * dx + dy * dy
-        # dist = d2 * rsqrt(d2); sin = dy * rsqrt; cos = dx * rsqrt (0 at 0)
-        one = jnp.ones((), geom)
-        zero = jnp.zeros((), geom)
-        inv = jnp.where(
-            d2 > 0, jax.lax.rsqrt(jnp.where(d2 > 0, d2, one)), zero
-        )
-
-        # neighborhood mask: column j belongs iff cluster(j) in ncc[t]
-        col_idx = jax.lax.broadcasted_iota(jnp.int32, (tq, np_), 1) + col0
-        col_cluster = col_idx // cs
-        member = jnp.zeros((tq, np_), jnp.bool_)
-        for j in range(nnc):
-            member = member | (col_cluster == ncc_ref[bi, :, j][:, None])
-        member = member & (col_idx < n_valid)
-
-        # --- per-head attention (MXU) over the shared geometry ---
-        for hi in range(nh):
-            q = q_ref[bi, hi]  # (tq, c_)
-            k = k_ref[bi, hi]
-            v = v_ref[bi, hi]
-            logits = jax.lax.dot_general(
-                q, k, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32, precision=prec,
-            )  # (tq, np)
-            w0 = wpe_ref[0, hi].astype(geom)
-            w1 = wpe_ref[1, hi].astype(geom)
-            w2 = wpe_ref[2, hi].astype(geom)
-            w3 = wpe_ref[3, hi].astype(geom)
-            w4 = wpe_ref[4, hi].astype(geom)
-            bias = w0 * dx + w1 * dy + (w2 * d2 + w3 * dy + w4 * dx) * inv
-            logits = jnp.where(
-                member, logits + bias.astype(jnp.float32) + bpe_ref[hi],
-                NEG_INF,
-            )
-
-            blank = blank_ref[bi, hi].astype(jnp.float32)  # (tq, 1)
-            mx = jnp.maximum(logits.max(axis=-1, keepdims=True), blank)
-            p = jnp.exp(logits - mx)
-            p = jnp.where(member, p, 0.0)
-            pb = jnp.exp(blank - mx)
-            denom = p.sum(axis=-1, keepdims=True) + pb
-            pb = pb / denom
-            p = (p / denom).astype(v.dtype)
-
-            out = jax.lax.dot_general(
-                p, v, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32, precision=prec,
-            )
-            out_ref[bi, hi] = out.astype(out_ref.dtype)
-            blankp_ref[bi, hi] = pb.astype(blankp_ref.dtype)
+    Windowed path (host-constant neighborhoods): the kernel's cost is VPU
+    work over the masked (tq, W) planes plus re-streaming the K/V window
+    per instance, and W shrinks as tiles get smaller (each tile spans a
+    narrower cluster band) — so pick tq minimizing ``nt * W * (tq + kappa)``
+    where kappa ≈ 16 rows models the HBM re-stream per instance.
+    Non-windowed path: largest VMEM-fitting tile (dense K/V is shared per
+    instance, so bigger tiles amortize it best).
+    """
+    if static_ncc is not None and not _INTERPRET:
+        kappa = 16
+        best = None
+        t = 8
+        while t <= min(n, 512):
+            if n % t == 0:
+                win = _static_window(static_ncc.arr, n, t, cs, np_)
+                if win is not None:
+                    cost = (n // t) * win[0] * (t + kappa)
+                    if best is None or cost < best[0]:
+                        best = (cost, t, win)
+            t += 8
+        if best is not None:
+            return best[1], best[2]
+    return _pick_tile(n, np_), None
 
 
 def _static_window(static_ncc, n, tq, cs, np_):
@@ -195,10 +118,10 @@ def _static_window(static_ncc, n, tq, cs, np_):
     neighborhoods (the on-grid stage): each query tile only touches a
     contiguous band of clusters thanks to space-filling-curve locality.
 
-    Returns ``(W, offs)`` — window width in rows and per-tile *element*
-    window starts (``pl.Element`` indexing; sublane-aligned, clamped in
-    bounds) — or ``None`` if windowing does not pay (window would cover
-    most of the token axis anyway).
+    Returns ``(W, np128, offs)`` — window width in rows, the padded row
+    count, and per-tile *element* window starts (``pl.Element`` indexing;
+    quantized to 128, clamped in bounds) — or ``None`` if windowing does
+    not pay (window would cover most of the token axis anyway).
     """
     import numpy as np
 
@@ -239,71 +162,168 @@ class _StaticNcc:
         return isinstance(other, _StaticNcc) and self._key == other._key
 
 
-def _attention_fwd_impl(q, k, v, ncc, pos, pe_kernel, pe_bias, blank_logit,
-                        cs, rel_width, clamp_width, static_ncc=None):
-    b, h, n, c_ = q.shape
+def _geometry(posq_ref, posk_ref, ncc_ref, bi, tq, W, col0, cs, n_valid,
+              rel_width, clamp_hi, nnc, want_feat: bool):
+    """Shared per-image geometry: rel-pos planes + the neighborhood mask.
+
+    K positions arrive transposed (2, np) so x/y are LANE vectors —
+    broadcasting a sublane-extracted column across lanes forces a
+    catastrophic relayout. Geometry stays fp32: bf16 compares are
+    unsupported on v5e and bf16 rsqrt/fma chains crash the LLO scheduler.
+    """
+    pxq = posq_ref[bi, :, 0:1].astype(jnp.float32)  # (tq, 1) sublane vec
+    pyq = posq_ref[bi, :, 1:2].astype(jnp.float32)
+    pxk = posk_ref[bi, 0, :].astype(jnp.float32)  # (np,) lane vector
+    pyk = posk_ref[bi, 1, :].astype(jnp.float32)
+    dx = pxk[None, :] - pxq  # (tq, W)
+    dy = pyk[None, :] - pyq
+    if clamp_hi is not None:
+        # MixRes clamps table-frame coords to [0, tw-1] (mixres:527)
+        R = rel_width
+        dx = jnp.clip(dx + R, 0, clamp_hi) - R
+        dy = jnp.clip(dy + R, 0, clamp_hi) - R
+    d2 = dx * dx + dy * dy
+    # dist = d2 * rsqrt(d2); sin = dy * rsqrt; cos = dx * rsqrt (0 at 0)
+    inv = jnp.where(
+        d2 > 0, jax.lax.rsqrt(jnp.where(d2 > 0, d2, 1.0)), 0.0
+    )
+
+    # neighborhood mask: column j belongs iff cluster(j) in ncc[t]
+    col_idx = jax.lax.broadcasted_iota(jnp.int32, (tq, W), 1) + col0
+    col_cluster = col_idx // cs
+    member = jnp.zeros((tq, W), jnp.bool_)
+    for j in range(nnc):
+        member = member | (col_cluster == ncc_ref[bi, :, j][:, None])
+    member = member & (col_idx < n_valid)
+    if want_feat:
+        return dx, dy, d2, inv, member, d2 * inv, dy * inv, dx * inv
+    return dx, dy, d2, inv, member
+
+
+def _fwd_kernel(*refs, h: int, cs: int, n_valid: int, rel_width: int,
+                clamp_hi: Optional[int], hiprec: bool, windowed: bool):
+    if windowed:
+        # scalar-prefetch ref with per-tile element window starts comes first
+        (off_ref, q_ref, kv_ref, posq_ref, posk_ref, ncc_ref, wpe_ref,
+         bpe_ref, bk_ref, bv_ref, out_ref) = refs
+        col0 = off_ref[pl.program_id(1)] * 128
+    else:
+        (q_ref, kv_ref, posq_ref, posk_ref, ncc_ref, wpe_ref,
+         bpe_ref, bk_ref, bv_ref, out_ref) = refs
+        col0 = 0
+    gb = q_ref.shape[0]  # images per kernel instance
+    tq = q_ref.shape[1]
+    c = q_ref.shape[2]
+    W = kv_ref.shape[1]
+    nnc = ncc_ref.shape[2]
+    c_ = c // h
+    prec = jax.lax.Precision.HIGHEST if hiprec else None
+
+    for bi in range(gb):
+        dx, dy, d2, inv, member = _geometry(
+            posq_ref, posk_ref, ncc_ref, bi, tq, W, col0, cs, n_valid,
+            rel_width, clamp_hi, nnc, want_feat=False,
+        )
+
+        # --- per-head attention (MXU) over the shared geometry ---
+        for hi in range(h):
+            q = q_ref[bi, :, hi * c_:(hi + 1) * c_]  # (tq, c_)
+            k = kv_ref[bi, :, 2 * hi * c_:(2 * hi + 1) * c_]  # (W, c_)
+            v = kv_ref[bi, :, (2 * hi + 1) * c_:(2 * hi + 2) * c_]
+            logits = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=prec,
+            )  # (tq, W)
+            w0 = wpe_ref[0, hi].astype(jnp.float32)
+            w1 = wpe_ref[1, hi].astype(jnp.float32)
+            w2 = wpe_ref[2, hi].astype(jnp.float32)
+            w3 = wpe_ref[3, hi].astype(jnp.float32)
+            w4 = wpe_ref[4, hi].astype(jnp.float32)
+            bias = w0 * dx + w1 * dy + (w2 * d2 + w3 * dy + w4 * dx) * inv
+            logits = jnp.where(
+                member, logits + bias + bpe_ref[hi], NEG_INF
+            )
+
+            # blank logit on the MXU: q @ blank_k[:, hi]  (tq, 1)
+            blank = jax.lax.dot_general(
+                q, bk_ref[:, hi:hi + 1],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=prec,
+            )
+            mx = jnp.maximum(logits.max(axis=-1, keepdims=True), blank)
+            p = jnp.exp(logits - mx)
+            p = jnp.where(member, p, 0.0)
+            pb = jnp.exp(blank - mx)
+            denom = p.sum(axis=-1, keepdims=True) + pb
+            pb = pb / denom
+            p = (p / denom).astype(v.dtype)
+
+            out = jax.lax.dot_general(
+                p, v, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=prec,
+            )
+            out = out + pb * bv_ref[hi:hi + 1, :].astype(jnp.float32)
+            out_ref[bi, :, hi * c_:(hi + 1) * c_] = out.astype(out_ref.dtype)
+
+
+def _pad_rows(x, np_):
+    n = x.shape[1]
+    if np_ == n:
+        return x
+    pad = [(0, 0)] * x.ndim
+    pad[1] = (0, np_ - n)
+    return jnp.pad(x, pad)
+
+
+def _gb_for(b: int, per_image_bytes: int, budget: int) -> int:
+    gb = 1
+    while (
+        gb < 8
+        and gb * 2 <= b
+        and b % (gb * 2) == 0
+        and (gb * 2) * per_image_bytes <= budget
+    ):
+        gb *= 2
+    return gb
+
+
+def _attention_fwd_impl(q, kv, ncc, pos, pe_kernel, pe_bias, blank_k,
+                        blank_v, h, cs, rel_width, clamp_width,
+                        static_ncc=None):
+    b, n, c = q.shape
     nnc = ncc.shape[-1]
     kk = -(-n // cs)
     np_ = kk * cs
     pos_q = pos  # query positions stay unpadded (match q/ncc row count)
     tq, window = _choose_tiling(n, np_, cs, static_ncc)
-    grid = (b, n // tq)
     clamp_hi = clamp_width - 1 if clamp_width else None
     hiprec = q.dtype == jnp.float32
 
     if window is not None:
         np_ = window[1]  # K/V padded so clamped windows stay in bounds
-
-    # Batch gb images per kernel instance: tiny per-image instances are
-    # DMA-latency/invocation-overhead bound (measured: halving the masked
-    # area alone moves stage-1 time by ~1%), so amortize across images —
-    # the window offsets depend only on the tile, never the image.
-    gb = 1
-    if window is not None:
-        kv_bytes = 2 * h * window[0] * c_ * 4
-        while (
-            gb < 8
-            and gb * 2 <= b
-            and b % (gb * 2) == 0
-            and (gb * 2) * kv_bytes <= 8 * 1024 * 1024
-        ):
-            gb *= 2
+        W = window[0]
+        # per-instance K/V re-stream; batching images per instance
+        # amortizes DMA latency / invocation overhead (measured: area
+        # reductions alone moved stage-1 time ~1%)
+        gb = _gb_for(b, 2 * W * c * 4, 8 * 1024 * 1024)
     elif tq == n:
-        while (
-            gb < 8  # unrolled gb*h body: keep compile size bounded
-            and gb * 2 <= b
-            and b % (gb * 2) == 0
-            and (gb * 2) * n <= 8192
-        ):
-            gb *= 2
+        # small-n stages: one tiny instance per image otherwise
+        gb = _gb_for(b, n * 8, 8192 * 8)
+    else:
+        gb = 1
 
-    if np_ != n:
-        pad = np_ - n
-        zeros = jnp.zeros((b, h, pad, c_), k.dtype)
-        k = jnp.concatenate([k, zeros], axis=2)
-        v = jnp.concatenate([v, zeros], axis=2)
-        pos = jnp.concatenate(
-            [pos, jnp.zeros((b, pad, 2), pos.dtype)], axis=1
-        )
+    kv_p = _pad_rows(kv, np_)
+    pos_p = _pad_rows(pos, np_)
 
     kernel = functools.partial(
-        _fwd_kernel, cs=cs, n_valid=n, rel_width=rel_width,
+        _fwd_kernel, h=h, cs=cs, n_valid=n, rel_width=rel_width,
         clamp_hi=clamp_hi, hiprec=hiprec, windowed=window is not None,
     )
-    out_shape = [
-        jax.ShapeDtypeStruct((b, h, n, c_), q.dtype),
-        jax.ShapeDtypeStruct((b, h, n, 1), jnp.float32),
-    ]
-    out_specs = [
-        pl.BlockSpec((1, h, tq, c_), lambda bi, ti, *_: (bi, 0, ti, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, h, tq, 1), lambda bi, ti, *_: (bi, 0, ti, 0),
-                     memory_space=pltpu.VMEM),
-    ]
+    out_shape = jax.ShapeDtypeStruct((b, n, c), q.dtype)
     operands = (
-        q, k, v, pos_q, pos.transpose(0, 2, 1), ncc,
+        q, kv_p, pos_q, pos_p.transpose(0, 2, 1), ncc,
         pe_kernel.astype(jnp.float32), pe_bias.astype(jnp.float32),
-        blank_logit,
+        blank_k.astype(q.dtype), blank_v.astype(jnp.float32),
     )
     compiler_params = pltpu.CompilerParams(
         vmem_limit_bytes=100 * 1024 * 1024
@@ -320,16 +340,12 @@ def _attention_fwd_impl(q, k, v, ncc, pos, pe_kernel, pe_bias, blank_logit,
             num_scalar_prefetch=1,
             grid=(b // gb, n // tq),
             in_specs=[
-                pl.BlockSpec((gb, h, tq, c_),
-                             lambda bi, ti, offs: (bi, 0, ti, 0),
+                pl.BlockSpec((gb, tq, c),
+                             lambda bi, ti, offs: (bi, ti, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((el(gb), el(h), el(W), el(c_)),
+                pl.BlockSpec((el(gb), el(W), el(2 * c)),
                              lambda bi, ti, offs:
-                             (bi * gb, 0, offs[ti] * 128, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((el(gb), el(h), el(W), el(c_)),
-                             lambda bi, ti, offs:
-                             (bi * gb, 0, offs[ti] * 128, 0),
+                             (bi * gb, offs[ti] * 128, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((gb, tq, 2),
                              lambda bi, ti, offs: (bi, ti, 0),
@@ -343,39 +359,31 @@ def _attention_fwd_impl(q, k, v, ncc, pos, pe_kernel, pe_bias, blank_logit,
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec(memory_space=pltpu.SMEM),
                 pl.BlockSpec(memory_space=pltpu.SMEM),
-                pl.BlockSpec((gb, h, tq, 1),
-                             lambda bi, ti, offs: (bi, 0, ti, 0),
-                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),  # blank_k (c_, h)
+                pl.BlockSpec(memory_space=pltpu.VMEM),  # blank_v (h, c_)
             ],
-            out_specs=[
-                pl.BlockSpec((gb, h, tq, c_),
-                             lambda bi, ti, offs: (bi, 0, ti, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((gb, h, tq, 1),
-                             lambda bi, ti, offs: (bi, 0, ti, 0),
-                             memory_space=pltpu.VMEM),
-            ],
+            out_specs=pl.BlockSpec(
+                (gb, tq, c), lambda bi, ti, offs: (bi, ti, 0),
+                memory_space=pltpu.VMEM,
+            ),
         )
-        out, blank_p = pl.pallas_call(
+        return pl.pallas_call(
             kernel,
             grid_spec=grid_spec,
             interpret=_INTERPRET,
             compiler_params=compiler_params,
             out_shape=out_shape,
         )(jnp.asarray(offs_np), *operands)
-        return out, blank_p
 
-    out, blank_p = pl.pallas_call(
+    return pl.pallas_call(
         kernel,
         grid=(b // gb, n // tq),
         interpret=_INTERPRET,
         compiler_params=compiler_params,
         in_specs=[
-            pl.BlockSpec((gb, h, tq, c_), lambda bi, ti: (bi, 0, ti, 0),
+            pl.BlockSpec((gb, tq, c), lambda bi, ti: (bi, ti, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((gb, h, np_, c_), lambda bi, ti: (bi, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((gb, h, np_, c_), lambda bi, ti: (bi, 0, 0, 0),
+            pl.BlockSpec((gb, np_, 2 * c), lambda bi, ti: (bi, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((gb, tq, 2), lambda bi, ti: (bi, ti, 0),
                          memory_space=pltpu.VMEM),
@@ -385,87 +393,64 @@ def _attention_fwd_impl(q, k, v, ncc, pos, pe_kernel, pe_bias, blank_logit,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),  # (5, h) pos_embed weights
             pl.BlockSpec(memory_space=pltpu.SMEM),  # (h,) pos_embed bias
-            pl.BlockSpec((gb, h, tq, 1), lambda bi, ti: (bi, 0, ti, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # blank_k (c_, h)
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # blank_v (h, c_)
         ],
-        out_specs=[
-            pl.BlockSpec((gb, h, tq, c_), lambda bi, ti: (bi, 0, ti, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((gb, h, tq, 1), lambda bi, ti: (bi, 0, ti, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        out_specs=pl.BlockSpec(
+            (gb, tq, c), lambda bi, ti: (bi, ti, 0),
+            memory_space=pltpu.VMEM,
+        ),
         out_shape=out_shape,
     )(*operands)
-    return out, blank_p
 
 
-def _bwd_kernel(*refs, cs: int, n_valid: int, rel_width: int,
+def _bwd_kernel(*refs, h: int, cs: int, n_valid: int, rel_width: int,
                 clamp_hi: Optional[int], hiprec: bool, windowed: bool):
     """Fused backward: recomputes the forward softmax per query tile (flash
-    style — nothing but the inputs is saved), then produces dq/dblank per
-    tile, accumulates dk/dv into a per-batch VMEM block across query tiles
-    (the reference's ``fastAtomicAdd`` scatters become in-VMEM accumulation
-    over a sequential grid — deterministic by construction), and emits
-    per-tile pos-embed-grad partials packed into an (8, 128) tile
-    (rows 0-4 = d_pe_kernel features, row 5 = d_pe_bias; lanes = heads)
-    for a final XLA-level sum."""
+    style — nothing but the inputs is saved), then produces dq per tile and
+    accumulates dkv / d_pos-embed / d_blank into per-image-group VMEM
+    blocks across the sequential query-tile grid (the reference's
+    ``fastAtomicAdd`` scatters become in-VMEM accumulation — deterministic
+    by construction)."""
     if windowed:
-        (off_ref, q_ref, k_ref, v_ref, posq_ref, posk_ref, ncc_ref, wpe_ref,
-         bpe_ref, blank_ref, gout_ref, gblank_ref,
-         dq_ref, dblank_ref, dk_ref, dv_ref, dpe_ref) = refs
+        (off_ref, q_ref, kv_ref, posq_ref, posk_ref, ncc_ref, wpe_ref,
+         bpe_ref, bk_ref, bv_ref, gout_ref,
+         dq_ref, dkv_ref, dpe_ref, dblank_ref) = refs
         col0 = off_ref[pl.program_id(1)] * 128
     else:
-        (q_ref, k_ref, v_ref, posq_ref, posk_ref, ncc_ref, wpe_ref,
-         bpe_ref, blank_ref, gout_ref, gblank_ref,
-         dq_ref, dblank_ref, dk_ref, dv_ref, dpe_ref) = refs
+        (q_ref, kv_ref, posq_ref, posk_ref, ncc_ref, wpe_ref,
+         bpe_ref, bk_ref, bv_ref, gout_ref,
+         dq_ref, dkv_ref, dpe_ref, dblank_ref) = refs
         col0 = 0
     gb = q_ref.shape[0]
-    nh = q_ref.shape[1]
-    tq = q_ref.shape[2]
-    W = k_ref.shape[2]
+    tq = q_ref.shape[1]
+    c = q_ref.shape[2]
+    W = kv_ref.shape[1]
     nnc = ncc_ref.shape[2]
+    c_ = c // h
     ti = pl.program_id(1)
     prec = jax.lax.Precision.HIGHEST if hiprec else None
 
     @pl.when(ti == 0)
-    def _init_kv():
-        dk_ref[...] = jnp.zeros(dk_ref.shape, dk_ref.dtype)
-        dv_ref[...] = jnp.zeros(dv_ref.shape, dv_ref.dtype)
+    def _init_acc():
+        dkv_ref[...] = jnp.zeros(dkv_ref.shape, dkv_ref.dtype)
+        dpe_ref[...] = jnp.zeros(dpe_ref.shape, dpe_ref.dtype)
+        dblank_ref[...] = jnp.zeros(dblank_ref.shape, dblank_ref.dtype)
 
     row_i = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
     lane_i = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
     dpe_tile = jnp.zeros((8, 128), jnp.float32)
 
     for bi in range(gb):
-        pxq = posq_ref[bi, :, 0:1].astype(jnp.float32)
-        pyq = posq_ref[bi, :, 1:2].astype(jnp.float32)
-        pxk = posk_ref[bi, 0, :].astype(jnp.float32)
-        pyk = posk_ref[bi, 1, :].astype(jnp.float32)
-        dx = pxk[None, :] - pxq
-        dy = pyk[None, :] - pyq
-        if clamp_hi is not None:
-            R = rel_width
-            dx = jnp.clip(dx + R, 0, clamp_hi) - R
-            dy = jnp.clip(dy + R, 0, clamp_hi) - R
-        d2 = dx * dx + dy * dy
-        inv = jnp.where(
-            d2 > 0, jax.lax.rsqrt(jnp.where(d2 > 0, d2, 1.0)), 0.0
+        dx, dy, d2, inv, member, dist, sinp, cosp = _geometry(
+            posq_ref, posk_ref, ncc_ref, bi, tq, W, col0, cs, n_valid,
+            rel_width, clamp_hi, nnc, want_feat=True,
         )
-        dist = d2 * inv
-        sinp = dy * inv
-        cosp = dx * inv
 
-        col_idx = jax.lax.broadcasted_iota(jnp.int32, (tq, W), 1) + col0
-        col_cluster = col_idx // cs
-        member = jnp.zeros((tq, W), jnp.bool_)
-        for j in range(nnc):
-            member = member | (col_cluster == ncc_ref[bi, :, j][:, None])
-        member = member & (col_idx < n_valid)
-
-        for hi in range(nh):
-            q = q_ref[bi, hi]
-            k = k_ref[bi, hi]
-            v = v_ref[bi, hi]
+        for hi in range(h):
+            q = q_ref[bi, :, hi * c_:(hi + 1) * c_]
+            k = kv_ref[bi, :, 2 * hi * c_:(2 * hi + 1) * c_]
+            v = kv_ref[bi, :, (2 * hi + 1) * c_:(2 * hi + 2) * c_]
             md = k.dtype
             logits = jax.lax.dot_general(
                 q, k, (((1,), (1,)), ((), ())),
@@ -477,7 +462,10 @@ def _bwd_kernel(*refs, cs: int, n_valid: int, rel_width: int,
                    + wpe_ref[4, hi] * dx) * inv
             )
             logits = jnp.where(member, logits + bias + bpe_ref[hi], NEG_INF)
-            blank = blank_ref[bi, hi].astype(jnp.float32)  # (tq, 1)
+            blank = jax.lax.dot_general(
+                q, bk_ref[:, hi:hi + 1], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=prec,
+            )  # (tq, 1)
             mx = jnp.maximum(logits.max(axis=-1, keepdims=True), blank)
             p = jnp.exp(logits - mx)
             p = jnp.where(member, p, 0.0)
@@ -486,22 +474,26 @@ def _bwd_kernel(*refs, cs: int, n_valid: int, rel_width: int,
             p = p * pinv
             pb = pb * pinv
 
-            go = gout_ref[bi, hi]  # (tq, c_)
-            gpb = gblank_ref[bi, hi].astype(jnp.float32)  # (tq, 1)
+            go = gout_ref[bi, :, hi * c_:(hi + 1) * c_]  # (tq, c_)
+            go32 = go.astype(jnp.float32)
             dp = jax.lax.dot_general(
                 go, v, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32, precision=prec,
             )  # (tq, W)
-            s = (dp * p).sum(axis=-1, keepdims=True) + gpb * pb
+            dpb = jax.lax.dot_general(
+                go32, bv_ref[hi:hi + 1, :], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=prec,
+            )  # (tq, 1)
+            s = (dp * p).sum(axis=-1, keepdims=True) + dpb * pb
             dl = p * (dp - s)  # (tq, W) fp32; zero at non-member slots
-            dblank_ref[bi, hi] = (pb * (gpb - s)).astype(dblank_ref.dtype)
+            dlb = pb * (dpb - s)  # (tq, 1)
 
             dlm = dl.astype(md)
             dq = jax.lax.dot_general(
                 dlm, k, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32, precision=prec,
-            )
-            dq_ref[bi, hi] = dq.astype(dq_ref.dtype)
+            ) + dlb * bk_ref[:, hi].astype(jnp.float32)[None, :]
+            dq_ref[bi, :, hi * c_:(hi + 1) * c_] = dq.astype(dq_ref.dtype)
 
             dkw = jax.lax.dot_general(
                 dlm, q, (((0,), (0,)), ((), ())),
@@ -511,16 +503,34 @@ def _bwd_kernel(*refs, cs: int, n_valid: int, rel_width: int,
                 p.astype(md), go, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32, precision=prec,
             )  # (W, c_)
+            k0 = 2 * hi * c_
+            v0 = (2 * hi + 1) * c_
             if windowed:
-                dk_ref[bi, hi, pl.ds(col0, W)] = (
-                    dk_ref[bi, hi, pl.ds(col0, W)] + dkw
+                dkv_ref[bi, pl.ds(col0, W), k0:k0 + c_] = (
+                    dkv_ref[bi, pl.ds(col0, W), k0:k0 + c_] + dkw
                 )
-                dv_ref[bi, hi, pl.ds(col0, W)] = (
-                    dv_ref[bi, hi, pl.ds(col0, W)] + dvw
+                dkv_ref[bi, pl.ds(col0, W), v0:v0 + c_] = (
+                    dkv_ref[bi, pl.ds(col0, W), v0:v0 + c_] + dvw
                 )
             else:
-                dk_ref[bi, hi] = dk_ref[bi, hi] + dkw
-                dv_ref[bi, hi] = dv_ref[bi, hi] + dvw
+                dkv_ref[bi, :, k0:k0 + c_] = dkv_ref[bi, :, k0:k0 + c_] + dkw
+                dkv_ref[bi, :, v0:v0 + c_] = dkv_ref[bi, :, v0:v0 + c_] + dvw
+
+            # blank grads: rows [0, c_) = d_blank_k, rows [c_, 2c_) = d_blank_v
+            dbk = jax.lax.dot_general(
+                q.astype(jnp.float32), dlb, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=prec,
+            )  # (c_, 1)
+            dbv = jax.lax.dot_general(
+                pb, go32, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=prec,
+            )  # (1, c_)
+            dblank_ref[0, 0:c_, hi:hi + 1] = (
+                dblank_ref[0, 0:c_, hi:hi + 1] + dbk
+            )
+            dblank_ref[0, c_:2 * c_, hi:hi + 1] = (
+                dblank_ref[0, c_:2 * c_, hi:hi + 1] + dbv.reshape(c_, 1)
+            )
 
             for f, plane in enumerate((dx, dy, dist, sinp, cosp)):
                 val = (dl * plane).sum()
@@ -530,18 +540,19 @@ def _bwd_kernel(*refs, cs: int, n_valid: int, rel_width: int,
             dpe_tile = dpe_tile + jnp.where(
                 (row_i == 5) & (lane_i == hi), dl.sum(), 0.0
             )
-    dpe_ref[0, 0] = dpe_tile
+    dpe_ref[...] = dpe_ref[...] + dpe_tile
 
 
-def _attention_bwd_impl(q, k, v, ncc, pos, pe_kernel, pe_bias, blank_logit,
-                        g_out, g_blankp, cs, rel_width, clamp_width,
+def _attention_bwd_impl(q, kv, ncc, pos, pe_kernel, pe_bias, blank_k,
+                        blank_v, g_out, h, cs, rel_width, clamp_width,
                         static_ncc):
     """Pallas backward; static decisions (tile, window, gb) mirror the
     forward exactly so window offsets line up."""
-    b, h, n, c_ = q.shape
+    b, n, c = q.shape
     nnc = ncc.shape[-1]
     kk = -(-n // cs)
     np_ = kk * cs
+    c_ = c // h
     pos_q = pos
     tq, window = _choose_tiling(n, np_, cs, static_ncc)
     clamp_hi = clamp_width - 1 if clamp_width else None
@@ -549,56 +560,64 @@ def _attention_bwd_impl(q, k, v, ncc, pos, pe_kernel, pe_bias, blank_logit,
 
     if window is not None:
         np_ = window[1]
-
-    gb = 1
-    if window is not None:
-        # dk/dv accumulate in fp32 VMEM blocks of np_ rows per image
-        kv_bytes = 2 * h * (window[0] + np_) * c_ * 4
-        while (
-            gb < 8
-            and gb * 2 <= b
-            and b % (gb * 2) == 0
-            and (gb * 2) * kv_bytes <= 24 * 1024 * 1024
-        ):
-            gb *= 2
+        W = window[0]
+        # dkv accumulates fp32 over np_ rows per image in VMEM
+        gb = _gb_for(b, (2 * W * c * 4) + (2 * np_ * c * 4),
+                     24 * 1024 * 1024)
     elif tq == n:
-        while (
-            gb < 8
-            and gb * 2 <= b
-            and b % (gb * 2) == 0
-            and (gb * 2) * n <= 8192
-        ):
-            gb *= 2
+        gb = _gb_for(b, n * 8, 8192 * 8)
+    else:
+        gb = 1
 
-    if np_ != n:
-        pad = np_ - n
-        zeros = jnp.zeros((b, h, pad, c_), k.dtype)
-        k = jnp.concatenate([k, zeros], axis=2)
-        v = jnp.concatenate([v, zeros], axis=2)
-        pos = jnp.concatenate(
-            [pos, jnp.zeros((b, pad, 2), pos.dtype)], axis=1
-        )
+    kv_p = _pad_rows(kv, np_)
+    pos_p = _pad_rows(pos, np_)
 
     nt = n // tq
     kernel = functools.partial(
-        _bwd_kernel, cs=cs, n_valid=n, rel_width=rel_width,
+        _bwd_kernel, h=h, cs=cs, n_valid=n, rel_width=rel_width,
         clamp_hi=clamp_hi, hiprec=hiprec, windowed=window is not None,
     )
     out_shape = [
-        jax.ShapeDtypeStruct((b, h, n, c_), q.dtype),        # dq
-        jax.ShapeDtypeStruct((b, h, n, 1), jnp.float32),     # dblank
-        jax.ShapeDtypeStruct((b, h, np_, c_), jnp.float32),  # dk (padded)
-        jax.ShapeDtypeStruct((b, h, np_, c_), jnp.float32),  # dv (padded)
-        jax.ShapeDtypeStruct((b // gb, nt, 8, 128), jnp.float32),  # pe parts
+        jax.ShapeDtypeStruct((b, n, c), q.dtype),           # dq
+        jax.ShapeDtypeStruct((b, np_, 2 * c), jnp.float32),  # dkv (padded)
+        jax.ShapeDtypeStruct((b // gb, 8, 128), jnp.float32),    # pe parts
+        jax.ShapeDtypeStruct((b // gb, 2 * c_, h), jnp.float32),  # blank parts
     ]
     operands = (
-        q, k, v, pos_q, pos.transpose(0, 2, 1), ncc,
+        q, kv_p, pos_q, pos_p.transpose(0, 2, 1), ncc,
         pe_kernel.astype(jnp.float32), pe_bias.astype(jnp.float32),
-        blank_logit, g_out, g_blankp,
+        blank_k.astype(q.dtype), blank_v.astype(jnp.float32), g_out,
     )
     compiler_params = pltpu.CompilerParams(
         vmem_limit_bytes=100 * 1024 * 1024
     )
+
+    def out_specs(windowed):
+        if windowed:
+            return [
+                pl.BlockSpec((gb, tq, c),
+                             lambda bi, ti, offs: (bi, ti, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((gb, np_, 2 * c),
+                             lambda bi, ti, offs: (bi, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 8, 128),
+                             lambda bi, ti, offs: (bi, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 2 * c_, h),
+                             lambda bi, ti, offs: (bi, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ]
+        return [
+            pl.BlockSpec((gb, tq, c), lambda bi, ti: (bi, ti, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((gb, np_, 2 * c), lambda bi, ti: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, 128), lambda bi, ti: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2 * c_, h), lambda bi, ti: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
 
     if window is not None:
         W, _, offs_np = window
@@ -607,16 +626,12 @@ def _attention_bwd_impl(q, k, v, ncc, pos, pe_kernel, pe_bias, blank_logit,
             num_scalar_prefetch=1,
             grid=(b // gb, nt),
             in_specs=[
-                pl.BlockSpec((gb, h, tq, c_),
-                             lambda bi, ti, offs: (bi, 0, ti, 0),
+                pl.BlockSpec((gb, tq, c),
+                             lambda bi, ti, offs: (bi, ti, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((el(gb), el(h), el(W), el(c_)),
+                pl.BlockSpec((el(gb), el(W), el(2 * c)),
                              lambda bi, ti, offs:
-                             (bi * gb, 0, offs[ti] * 128, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((el(gb), el(h), el(W), el(c_)),
-                             lambda bi, ti, offs:
-                             (bi * gb, 0, offs[ti] * 128, 0),
+                             (bi * gb, offs[ti] * 128, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((gb, tq, 2),
                              lambda bi, ti, offs: (bi, ti, 0),
@@ -630,33 +645,13 @@ def _attention_bwd_impl(q, k, v, ncc, pos, pe_kernel, pe_bias, blank_logit,
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec(memory_space=pltpu.SMEM),
                 pl.BlockSpec(memory_space=pltpu.SMEM),
-                pl.BlockSpec((gb, h, tq, 1),
-                             lambda bi, ti, offs: (bi, 0, ti, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((gb, h, tq, c_),
-                             lambda bi, ti, offs: (bi, 0, ti, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((gb, h, tq, 1),
-                             lambda bi, ti, offs: (bi, 0, ti, 0),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec((gb, tq, c),
+                             lambda bi, ti, offs: (bi, ti, 0),
                              memory_space=pltpu.VMEM),
             ],
-            out_specs=[
-                pl.BlockSpec((gb, h, tq, c_),
-                             lambda bi, ti, offs: (bi, 0, ti, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((gb, h, tq, 1),
-                             lambda bi, ti, offs: (bi, 0, ti, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((gb, h, np_, c_),
-                             lambda bi, ti, offs: (bi, 0, 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((gb, h, np_, c_),
-                             lambda bi, ti, offs: (bi, 0, 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 1, 8, 128),
-                             lambda bi, ti, offs: (bi, ti, 0, 0),
-                             memory_space=pltpu.VMEM),
-            ],
+            out_specs=out_specs(True),
         )
         outs = pl.pallas_call(
             kernel,
@@ -672,11 +667,9 @@ def _attention_bwd_impl(q, k, v, ncc, pos, pe_kernel, pe_bias, blank_logit,
             interpret=_INTERPRET,
             compiler_params=compiler_params,
             in_specs=[
-                pl.BlockSpec((gb, h, tq, c_), lambda bi, ti: (bi, 0, ti, 0),
+                pl.BlockSpec((gb, tq, c), lambda bi, ti: (bi, ti, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((gb, h, np_, c_), lambda bi, ti: (bi, 0, 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((gb, h, np_, c_), lambda bi, ti: (bi, 0, 0, 0),
+                pl.BlockSpec((gb, np_, 2 * c), lambda bi, ti: (bi, 0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((gb, tq, 2), lambda bi, ti: (bi, ti, 0),
                              memory_space=pltpu.VMEM),
@@ -686,39 +679,29 @@ def _attention_bwd_impl(q, k, v, ncc, pos, pe_kernel, pe_bias, blank_logit,
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec(memory_space=pltpu.SMEM),
                 pl.BlockSpec(memory_space=pltpu.SMEM),
-                pl.BlockSpec((gb, h, tq, 1), lambda bi, ti: (bi, 0, ti, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((gb, h, tq, c_), lambda bi, ti: (bi, 0, ti, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((gb, h, tq, 1), lambda bi, ti: (bi, 0, ti, 0),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec((gb, tq, c), lambda bi, ti: (bi, ti, 0),
                              memory_space=pltpu.VMEM),
             ],
-            out_specs=[
-                pl.BlockSpec((gb, h, tq, c_), lambda bi, ti: (bi, 0, ti, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((gb, h, tq, 1), lambda bi, ti: (bi, 0, ti, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((gb, h, np_, c_), lambda bi, ti: (bi, 0, 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((gb, h, np_, c_), lambda bi, ti: (bi, 0, 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 1, 8, 128), lambda bi, ti: (bi, ti, 0, 0),
-                             memory_space=pltpu.VMEM),
-            ],
+            out_specs=out_specs(False),
             out_shape=out_shape,
         )(*operands)
 
-    dq, dblank, dk, dv, dpe = outs
-    dpe_sum = dpe.sum(axis=(0, 1))  # (8, 128)
+    dq, dkv, dpe, dblank = outs
+    dpe_sum = dpe.sum(axis=0)  # (8, 128)
     d_pe_kernel = dpe_sum[:5, :h]
     d_pe_bias = dpe_sum[5, :h]
+    dblank_sum = dblank.sum(axis=0)  # (2c_, h)
+    d_blank_k = dblank_sum[:c_]
+    d_blank_v = dblank_sum[c_:].T  # (h, c_)
     return (
         dq,
-        dk[:, :, :n].astype(k.dtype),
-        dv[:, :, :n].astype(v.dtype),
+        dkv[:, :n].astype(kv.dtype),
         d_pe_kernel.astype(pe_kernel.dtype),
         d_pe_bias.astype(pe_bias.dtype),
-        dblank.astype(blank_logit.dtype),
+        d_blank_k.astype(blank_k.dtype),
+        d_blank_v.astype(blank_v.dtype),
     )
 
 
@@ -739,24 +722,29 @@ def _rel_feat(pos, ncc, cs, rel_width, clamp_width):
 def _pad_mask(ncc, cs, n, nnc):
     """(b, n, m) True where the slot maps to a real (non-padded) token."""
     b = ncc.shape[0]
-    kk = -(-n // cs)
     slot = jnp.arange(cs)
     token_idx = ncc[..., None] * cs + slot  # b n nnc cs
     return (token_idx < n).reshape(b, n, nnc * cs)
 
 
-def fused_cluster_attention(q, k, v, ncc, pos, pe_kernel, pe_bias,
-                            blank_logit, cs, rel_width, clamp_width=0,
-                            static_ncc=None):
+def fused_cluster_attention(q, kv, ncc, pos, pe_kernel, pe_bias,
+                            blank_k, blank_v, num_heads, cs, rel_width,
+                            clamp_width=0, static_ncc=None):
     """Fused local cluster attention (see module docstring).
 
     Args:
-        q: (b, h, n, c_) pre-scaled queries (cluster-ordered).
-        k, v: (b, h, n, c_) cluster-ordered keys/values.
+        q: (b, n, c) pre-scaled queries, token-major (head hi occupies
+            channels [hi*c_, (hi+1)*c_), c_ = c // num_heads);
+            cluster-ordered rows.
+        kv: (b, n, 2c) fused keys/values, channel structure (h, 2, c_) —
+            per head, k then v — exactly the kv Linear output (matches the
+            reference's ``kv.view(b, n, h, 2, c_)``).
         ncc: (b, n, nnc) int32 nearest-cluster indices.
         pos: (b, n, 2) float token positions (cluster-ordered).
         pe_kernel: (5, h) pos_embed weights; pe_bias: (h,).
-        blank_logit: (b, h, n, 1) logit of the learned blank slot.
+        blank_k: (c_, h) learned blank-key slices (logit = q_h @ blank_k[:, h]).
+        blank_v: (h, c_) learned blank-value slices.
+        num_heads: h.
         cs: cluster size; rel_width: R; clamp_width: table width for the
             MixRes clamp (0 = no clamp, AFF semantics).
         static_ncc: optional host-constant (n, nnc) numpy copy of ``ncc``
@@ -766,58 +754,78 @@ def fused_cluster_attention(q, k, v, ncc, pos, pe_kernel, pe_bias,
             cluster band instead of the full token axis.
 
     Returns:
-        (out (b, h, n, c_), blank_p (b, h, n, 1) fp32).
+        out (b, n, c) with the blank-token contribution already added.
     """
     wrapped = None if static_ncc is None else _StaticNcc(static_ncc)
-    return _fca(q, k, v, ncc, pos, pe_kernel, pe_bias, blank_logit,
-                cs, rel_width, clamp_width, wrapped)
+    return _fca(q, kv, ncc, pos, pe_kernel, pe_bias, blank_k, blank_v,
+                num_heads, cs, rel_width, clamp_width, wrapped)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11))
-def _fca(q, k, v, ncc, pos, pe_kernel, pe_bias, blank_logit,
-         cs, rel_width, clamp_width, static_ncc):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11, 12))
+def _fca(q, kv, ncc, pos, pe_kernel, pe_bias, blank_k, blank_v,
+         h, cs, rel_width, clamp_width, static_ncc):
     return _attention_fwd_impl(
-        q, k, v, ncc, pos, pe_kernel, pe_bias, blank_logit,
-        cs, rel_width, clamp_width, static_ncc,
+        q, kv, ncc, pos, pe_kernel, pe_bias, blank_k, blank_v,
+        h, cs, rel_width, clamp_width, static_ncc,
     )
 
 
-def _fca_fwd(q, k, v, ncc, pos, pe_kernel, pe_bias, blank_logit,
-             cs, rel_width, clamp_width, static_ncc):
+def _fca_fwd(q, kv, ncc, pos, pe_kernel, pe_bias, blank_k, blank_v,
+             h, cs, rel_width, clamp_width, static_ncc):
     out = _attention_fwd_impl(
-        q, k, v, ncc, pos, pe_kernel, pe_bias, blank_logit,
-        cs, rel_width, clamp_width, static_ncc,
+        q, kv, ncc, pos, pe_kernel, pe_bias, blank_k, blank_v,
+        h, cs, rel_width, clamp_width, static_ncc,
     )
-    return out, (q, k, v, ncc, pos, pe_kernel, pe_bias, blank_logit)
+    return out, (q, kv, ncc, pos, pe_kernel, pe_bias, blank_k, blank_v)
 
 
-def _fca_bwd(cs, rel_width, clamp_width, static_ncc, residuals, cotangents):
-    q, k, v, ncc, pos, pe_kernel, pe_bias, blank_logit = residuals
-    g_out, g_blankp = cotangents
-    if _PALLAS_BWD:
-        dq, dk, dv, d_pe_kernel, d_pe_bias, dblank = _attention_bwd_impl(
-            q, k, v, ncc, pos, pe_kernel, pe_bias, blank_logit,
-            g_out, g_blankp, cs, rel_width, clamp_width, static_ncc,
+def _split_heads(x, h):
+    b, n, c = x.shape
+    return x.reshape(b, n, h, c // h).transpose(0, 2, 1, 3)
+
+
+def _merge_heads(x):
+    b, h, n, c_ = x.shape
+    return x.transpose(0, 2, 1, 3).reshape(b, n, h * c_)
+
+
+def _fca_bwd(h, cs, rel_width, clamp_width, static_ncc, residuals,
+             g_out):
+    q, kv, ncc, pos, pe_kernel, pe_bias, blank_k, blank_v = residuals
+    c_ = q.shape[-1] // h
+    if _PALLAS_BWD and c_ % 8 == 0 and not _INTERPRET:
+        dq, dkv, d_pe_kernel, d_pe_bias, d_blank_k, d_blank_v = (
+            _attention_bwd_impl(
+                q, kv, ncc, pos, pe_kernel, pe_bias, blank_k, blank_v,
+                g_out, h, cs, rel_width, clamp_width, static_ncc,
+            )
         )
-        return (dq, dk, dv, None, None, d_pe_kernel, d_pe_bias, dblank)
-    b, h, n, c_ = q.shape
+        return (dq, dkv, None, None, d_pe_kernel, d_pe_bias,
+                d_blank_k, d_blank_v)
+
+    # XLA one-hot oracle backward (reference algebra, deterministic)
+    b, n, c = q.shape
     nnc = ncc.shape[-1]
     kk = -(-n // cs)
+    qh = _split_heads(q, h).astype(jnp.float32)  # b h n c_
+    kvh = kv.reshape(b, n, h, 2, c_)
+    kh = kvh[..., 0, :].transpose(0, 2, 1, 3)  # b h n c_
+    vh = kvh[..., 1, :].transpose(0, 2, 1, 3)
+    goh = _split_heads(g_out, h).astype(jnp.float32)
 
-    # recompute probabilities with the one-hot algebra (XLA level)
     feat5 = _rel_feat(pos, ncc, cs, rel_width, clamp_width)  # b n m 5
     bias = (
         jnp.einsum("bnmf,fh->bhnm", feat5, pe_kernel.astype(jnp.float32))
         + pe_bias.astype(jnp.float32)[None, :, None, None]
     )
     pad_ok = _pad_mask(ncc, cs, n, nnc)[:, None]  # b 1 n m
-    kg = gather_clusters_onehot(k, ncc, cs)
-    vg = gather_clusters_onehot(v, ncc, cs)
-    logits = jnp.einsum(
-        "bhic,bhimc->bhim", q.astype(jnp.float32), kg.astype(jnp.float32)
-    ) + bias
+    kg = gather_clusters_onehot(kh, ncc, cs)
+    vg = gather_clusters_onehot(vh, ncc, cs)
+    logits = jnp.einsum("bhic,bhimc->bhim", qh, kg.astype(jnp.float32)) + bias
     logits = jnp.where(pad_ok, logits, NEG_INF)
-    blank = blank_logit.astype(jnp.float32)
+    bk32 = blank_k.astype(jnp.float32).T  # (h, c_)
+    bv32 = blank_v.astype(jnp.float32)  # (h, c_)
+    blank = jnp.einsum("bhic,hc->bhi", qh, bk32)[..., None]  # b h n 1
     mx = jnp.maximum(logits.max(-1, keepdims=True), blank)
     p = jnp.where(pad_ok, jnp.exp(logits - mx), 0.0)
     pb = jnp.exp(blank - mx)
@@ -825,39 +833,46 @@ def _fca_bwd(cs, rel_width, clamp_width, static_ncc, residuals, cotangents):
     p = p / denom
     pb = pb / denom
 
-    g_out32 = g_out.astype(jnp.float32)
-    dp = jnp.einsum("bhic,bhimc->bhim", g_out32, vg.astype(jnp.float32))
-    gb = g_blankp.astype(jnp.float32)
+    dp = jnp.einsum("bhic,bhimc->bhim", goh, vg.astype(jnp.float32))
+    dpb = jnp.einsum("bhic,hc->bhi", goh, bv32)[..., None]
 
-    s = (dp * p).sum(-1, keepdims=True) + gb * pb
+    s = (dp * p).sum(-1, keepdims=True) + dpb * pb
     dlogits = p * (dp - s)  # zero at masked slots since p there is 0
-    dblank = pb * (gb - s)
+    dlb = pb * (dpb - s)  # b h n 1
 
-    dq = jnp.einsum("bhim,bhimc->bhic", dlogits, kg.astype(jnp.float32))
+    dqh = jnp.einsum("bhim,bhimc->bhic", dlogits, kg.astype(jnp.float32))
+    dqh = dqh + dlb * bk32[None, :, None, :]
     d_pe_kernel = jnp.einsum("bhnm,bnmf->fh", dlogits, feat5)
     d_pe_bias = dlogits.sum(axis=(0, 2, 3))
+    d_blank_k = jnp.einsum("bhic,bhi->ch", qh, dlb[..., 0])
+    d_blank_v = jnp.einsum("bhi,bhic->hc", pb[..., 0], goh)
 
     # scatter-adds as transposed one-hot matmuls (deterministic)
     onehot = jax.nn.one_hot(ncc.reshape(b, -1), kk, dtype=jnp.float32)
-    dkg = q.astype(jnp.float32)[:, :, :, None, :] * dlogits[..., None]
-    dvg = p[..., None] * g_out32[:, :, :, None, :]
+    dkg = qh[:, :, :, None, :] * dlogits[..., None]
+    dvg = p[..., None] * goh[:, :, :, None, :]
 
     def scatter(dxg):
-        flat = dxg.reshape(b, h, n * nnc, cs * c_)
+        flat = dxg.reshape(b, h, n * nnc, cs * c // h)
         acc = jnp.einsum("bek,bhed->bhkd", onehot, flat)
-        return acc.reshape(b, h, kk * cs, c_)[:, :, :n]
+        return acc.reshape(b, h, kk * cs, c // h)[:, :, :n]
 
-    dk = scatter(dkg)
-    dv = scatter(dvg)
+    dkh = scatter(dkg)
+    dvh = scatter(dvg)
+    dkv = (
+        jnp.stack([dkh, dvh], axis=3)  # b h n 2 c_
+        .transpose(0, 2, 1, 3, 4)
+        .reshape(b, n, 2 * c)
+    )
     return (
-        dq.astype(q.dtype),
-        dk.astype(k.dtype),
-        dv.astype(v.dtype),
+        _merge_heads(dqh).astype(q.dtype),
+        dkv.astype(kv.dtype),
         None,
         None,
         d_pe_kernel.astype(pe_kernel.dtype),
         d_pe_bias.astype(pe_bias.dtype),
-        dblank.astype(blank_logit.dtype),
+        d_blank_k.astype(blank_k.dtype),
+        d_blank_v.astype(blank_v.dtype),
     )
 
 

@@ -1,10 +1,13 @@
 """Fused Pallas attention vs the XLA one-hot formulation.
 
 Runs the kernel through the Pallas interpreter on CPU (the TPU-compiled
-path is additionally cross-checked on hardware by scripts/validate_tpu.py
+path is additionally cross-checked on hardware by scripts/parity_probe.py
 and the benchmark); exactness argument: the kernel's dense-masked softmax
 must match gather-attention wherever neighborhoods are duplicate-free,
 which kNN guarantees.
+
+Operand layout: token-major q (b, n, h*c_) and fused kv (b, n, h*2*c_)
+with per-head (k, v) channel interleave — see clusten_pallas docstring.
 """
 
 import os
@@ -24,9 +27,22 @@ B, H, CS, NNC, C_ = 2, 2, 8, 3, 16
 R = 27
 
 
+def to_token_major(x):
+    """(b, h, n, c_) -> (b, n, h*c_)."""
+    b, h, n, c_ = x.shape
+    return x.transpose(0, 2, 1, 3).reshape(b, n, h * c_)
+
+
+def fuse_kv(k, v):
+    """head-major k/v -> (b, n, h*2*c_) with per-head (k, v) interleave."""
+    b, h, n, c_ = k.shape
+    kv = jnp.stack([k, v], axis=3)  # b h n 2 c_
+    return kv.transpose(0, 2, 1, 3, 4).reshape(b, n, h * 2 * c_)
+
+
 def make_inputs(n, seed=0):
     k_ = -(-n // CS)
-    ks = jax.random.split(jax.random.PRNGKey(seed), 8)
+    ks = jax.random.split(jax.random.PRNGKey(seed), 9)
     q = jax.random.normal(ks[0], (B, H, n, C_), jnp.float32)
     k = jax.random.normal(ks[1], (B, H, n, C_), jnp.float32)
     v = jax.random.normal(ks[2], (B, H, n, C_), jnp.float32)
@@ -36,12 +52,12 @@ def make_inputs(n, seed=0):
     pos = jax.random.randint(ks[4], (B, n, 2), 0, 28).astype(jnp.float32)
     w5 = jax.random.normal(ks[5], (5, H)) * 0.1
     bh = jax.random.normal(ks[6], (H,)) * 0.1
-    blank = jax.random.normal(ks[7], (B, H, n, 1))
-    return q, k, v, ncc, pos, w5, bh, blank
+    blank_k = jax.random.normal(ks[7], (C_, H)) * 0.5
+    blank_v = jax.random.normal(ks[8], (H, C_)) * 0.5
+    return q, k, v, ncc, pos, w5, bh, blank_k, blank_v
 
 
-def xla_reference(q, k, v, ncc, pos, w5, bh, blank, n):
-    kk = -(-n // CS)
+def xla_reference(q, k, v, ncc, pos, w5, bh, blank_k, blank_v, n):
     pos_g = gather_clusters_onehot(pos[:, None], ncc, CS)[:, 0]
     rel = pos_g - (pos[:, :, None, :] - R)
     pf = rel_pos_features(rel, R)
@@ -55,50 +71,57 @@ def xla_reference(q, k, v, ncc, pos, w5, bh, blank, n):
     token_idx = (ncc[..., None] * CS + slot).reshape(ncc.shape[0], n, -1)
     pad_ok = (token_idx < n)[:, None]
     attn = jnp.where(pad_ok, attn, -1e30)
+    blank = jnp.einsum("bhic,ch->bhi", q, blank_k)[..., None]  # b h n 1
     full = jnp.concatenate([attn, blank], -1)
     p = jax.nn.softmax(full, -1)
     pb = p[..., -1:]
     p = jnp.where(pad_ok, p[..., :-1], 0.0)
     out = jnp.einsum("bhim,bhimc->bhic", p, vg)
-    return out, pb
+    out = out + pb * blank_v[None, :, None, :]
+    return to_token_major(out)
 
 
 @pytest.mark.parametrize("n", [128, 196])  # 196: padded last cluster
 def test_fused_forward_matches_xla(n):
-    args = make_inputs(n)
+    q, k, v, ncc, pos, w5, bh, bk, bv = make_inputs(n)
     with jax.default_matmul_precision("highest"):
-        o_ref, pb_ref = xla_reference(*args, n)
-        o_f, pb_f = fused_cluster_attention(*args, CS, R, 0)
+        o_ref = xla_reference(q, k, v, ncc, pos, w5, bh, bk, bv, n)
+        o_f = fused_cluster_attention(
+            to_token_major(q), fuse_kv(k, v), ncc, pos, w5, bh, bk, bv,
+            H, CS, R, 0,
+        )
     np.testing.assert_allclose(
         np.asarray(o_f), np.asarray(o_ref), atol=2e-5, rtol=1e-4
-    )
-    np.testing.assert_allclose(
-        np.asarray(pb_f), np.asarray(pb_ref), atol=1e-6
     )
 
 
 def test_fused_gradients_match_xla():
     n = 128
-    q, k, v, ncc, pos, w5, bh, blank = make_inputs(n, seed=1)
+    q, k, v, ncc, pos, w5, bh, bk, bv = make_inputs(n, seed=1)
+    q_tm, kv_tm = to_token_major(q), fuse_kv(k, v)
 
-    def loss_fused(q, k, v, w5, bh, blank):
-        o, pb = fused_cluster_attention(
-            q, k, v, ncc, pos, w5, bh, blank, CS, R, 0
+    def loss_fused(q_tm, kv_tm, w5, bh, bk, bv):
+        o = fused_cluster_attention(
+            q_tm, kv_tm, ncc, pos, w5, bh, bk, bv, H, CS, R, 0
         )
-        return (o**2).sum() + (pb**2).sum()
+        return (o**2).sum()
 
-    def loss_ref(q, k, v, w5, bh, blank):
-        o, pb = xla_reference(q, k, v, ncc, pos, w5, bh, blank, n)
-        return (o**2).sum() + (pb**2).sum()
+    def loss_ref(q_tm, kv_tm, w5, bh, bk, bv):
+        qh = q_tm.reshape(B, n, H, C_).transpose(0, 2, 1, 3)
+        kvh = kv_tm.reshape(B, n, H, 2, C_)
+        kh = kvh[..., 0, :].transpose(0, 2, 1, 3)
+        vh = kvh[..., 1, :].transpose(0, 2, 1, 3)
+        o = xla_reference(qh, kh, vh, ncc, pos, w5, bh, bk, bv, n)
+        return (o**2).sum()
 
     with jax.default_matmul_precision("highest"):
         g1 = jax.grad(loss_fused, argnums=(0, 1, 2, 3, 4, 5))(
-            q, k, v, w5, bh, blank
+            q_tm, kv_tm, w5, bh, bk, bv
         )
         g2 = jax.grad(loss_ref, argnums=(0, 1, 2, 3, 4, 5))(
-            q, k, v, w5, bh, blank
+            q_tm, kv_tm, w5, bh, bk, bv
         )
-    for a, b, name in zip(g1, g2, ["q", "k", "v", "w5", "bh", "blank"]):
+    for a, b, name in zip(g1, g2, ["q", "kv", "w5", "bh", "blank_k", "blank_v"]):
         scale = max(float(jnp.abs(b).max()), 1.0)
         np.testing.assert_allclose(
             np.asarray(a) / scale, np.asarray(b) / scale, atol=5e-5,
