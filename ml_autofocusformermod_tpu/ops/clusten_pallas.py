@@ -65,12 +65,13 @@ _INTERPRET = os.environ.get("MLAFF_PALLAS_INTERPRET", "0") == "1"
 _PALLAS_BWD = os.environ.get("MLAFF_PALLAS_BWD", "1") == "1"
 
 
-def _pick_tile(n: int, np_: int) -> int:
+def _pick_tile(n: int, np_: int, planes: int = 8) -> int:
     """Largest divisor tile whose fp32 working planes fit the VMEM budget.
 
-    The kernel keeps ~8 (tq, np) fp32 planes live (logits, dx/dy, dist,
-    mask, probs, temporaries); budget them against the raised 96MB scoped
-    limit with headroom for K/V and pipeline buffers.
+    ``planes`` is how many (tq, np) fp32 planes the kernel keeps live
+    (attention: ~8 — logits, dx/dy, dist, mask, probs, temporaries;
+    merging: ~16); budget them against the raised 96MB scoped limit with
+    headroom for K/V and pipeline buffers.
     """
     budget = 60 * 1024 * 1024
     best = None
@@ -79,7 +80,7 @@ def _pick_tile(n: int, np_: int) -> int:
             continue
         if t % 8 != 0 and t != n:
             continue  # sublane constraint: divisible by 8 or the full dim
-        if t * np_ * 4 * 8 <= budget:
+        if t * np_ * 4 * planes <= budget:
             return t
         best = best or t
     return best if best is not None else n
@@ -201,7 +202,8 @@ def _geometry(posq_ref, posk_ref, ncc_ref, bi, tq, W, col0, cs, n_valid,
 
 
 def _fwd_kernel(*refs, h: int, cs: int, n_valid: int, rel_width: int,
-                clamp_hi: Optional[int], hiprec: bool, windowed: bool):
+                clamp_hi: Optional[int], hiprec: bool, windowed: bool,
+                batch_inv: bool):
     if windowed:
         # scalar-prefetch ref with per-tile element window starts comes first
         (off_ref, q_ref, kv_ref, posq_ref, posk_ref, ncc_ref, wpe_ref,
@@ -219,11 +221,31 @@ def _fwd_kernel(*refs, h: int, cs: int, n_valid: int, rel_width: int,
     c_ = c // h
     prec = jax.lax.Precision.HIGHEST if hiprec else None
 
-    for bi in range(gb):
+    def head_bias(hi, dx, dy, d2, inv):
+        w0 = wpe_ref[0, hi].astype(jnp.float32)
+        w1 = wpe_ref[1, hi].astype(jnp.float32)
+        w2 = wpe_ref[2, hi].astype(jnp.float32)
+        w3 = wpe_ref[3, hi].astype(jnp.float32)
+        w4 = wpe_ref[4, hi].astype(jnp.float32)
+        return (w0 * dx + w1 * dy + (w2 * d2 + w3 * dy + w4 * dx) * inv
+                + bpe_ref[hi])
+
+    # batch-invariant path (on-grid stage): pos/ncc are identical for every
+    # image of the instance, so geometry, membership and the per-head bias
+    # planes are computed ONCE instead of gb times (~halves VPU work)
+    if batch_inv:
         dx, dy, d2, inv, member = _geometry(
-            posq_ref, posk_ref, ncc_ref, bi, tq, W, col0, cs, n_valid,
+            posq_ref, posk_ref, ncc_ref, 0, tq, W, col0, cs, n_valid,
             rel_width, clamp_hi, nnc, want_feat=False,
         )
+        biases = [head_bias(hi, dx, dy, d2, inv) for hi in range(h)]
+
+    for bi in range(gb):
+        if not batch_inv:
+            dx, dy, d2, inv, member = _geometry(
+                posq_ref, posk_ref, ncc_ref, bi, tq, W, col0, cs, n_valid,
+                rel_width, clamp_hi, nnc, want_feat=False,
+            )
 
         # --- per-head attention (MXU) over the shared geometry ---
         for hi in range(h):
@@ -234,15 +256,11 @@ def _fwd_kernel(*refs, h: int, cs: int, n_valid: int, rel_width: int,
                 q, k, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32, precision=prec,
             )  # (tq, W)
-            w0 = wpe_ref[0, hi].astype(jnp.float32)
-            w1 = wpe_ref[1, hi].astype(jnp.float32)
-            w2 = wpe_ref[2, hi].astype(jnp.float32)
-            w3 = wpe_ref[3, hi].astype(jnp.float32)
-            w4 = wpe_ref[4, hi].astype(jnp.float32)
-            bias = w0 * dx + w1 * dy + (w2 * d2 + w3 * dy + w4 * dx) * inv
-            logits = jnp.where(
-                member, logits + bias + bpe_ref[hi], NEG_INF
+            bias = (
+                biases[hi] if batch_inv
+                else head_bias(hi, dx, dy, d2, inv)
             )
+            logits = jnp.where(member, logits + bias, NEG_INF)
 
             # blank logit on the MXU: q @ blank_k[:, hi]  (tq, 1)
             blank = jax.lax.dot_general(
@@ -318,6 +336,7 @@ def _attention_fwd_impl(q, kv, ncc, pos, pe_kernel, pe_bias, blank_k,
     kernel = functools.partial(
         _fwd_kernel, h=h, cs=cs, n_valid=n, rel_width=rel_width,
         clamp_hi=clamp_hi, hiprec=hiprec, windowed=window is not None,
+        batch_inv=static_ncc is not None,
     )
     out_shape = jax.ShapeDtypeStruct((b, n, c), q.dtype)
     operands = (
@@ -405,7 +424,8 @@ def _attention_fwd_impl(q, kv, ncc, pos, pe_kernel, pe_bias, blank_k,
 
 
 def _bwd_kernel(*refs, h: int, cs: int, n_valid: int, rel_width: int,
-                clamp_hi: Optional[int], hiprec: bool, windowed: bool):
+                clamp_hi: Optional[int], hiprec: bool, windowed: bool,
+                batch_inv: bool):
     """Fused backward: recomputes the forward softmax per query tile (flash
     style — nothing but the inputs is saved), then produces dq per tile and
     accumulates dkv / d_pos-embed / d_blank into per-image-group VMEM
@@ -441,11 +461,28 @@ def _bwd_kernel(*refs, h: int, cs: int, n_valid: int, rel_width: int,
     lane_i = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
     dpe_tile = jnp.zeros((8, 128), jnp.float32)
 
-    for bi in range(gb):
+    def head_bias(hi, dx, dy, d2, inv):
+        return (
+            wpe_ref[0, hi] * dx + wpe_ref[1, hi] * dy
+            + (wpe_ref[2, hi] * d2 + wpe_ref[3, hi] * dy
+               + wpe_ref[4, hi] * dx) * inv
+            + bpe_ref[hi]
+        )
+
+    # batch-invariant hoist: see _fwd_kernel (same contract via static_ncc)
+    if batch_inv:
         dx, dy, d2, inv, member, dist, sinp, cosp = _geometry(
-            posq_ref, posk_ref, ncc_ref, bi, tq, W, col0, cs, n_valid,
+            posq_ref, posk_ref, ncc_ref, 0, tq, W, col0, cs, n_valid,
             rel_width, clamp_hi, nnc, want_feat=True,
         )
+        biases = [head_bias(hi, dx, dy, d2, inv) for hi in range(h)]
+
+    for bi in range(gb):
+        if not batch_inv:
+            dx, dy, d2, inv, member, dist, sinp, cosp = _geometry(
+                posq_ref, posk_ref, ncc_ref, bi, tq, W, col0, cs, n_valid,
+                rel_width, clamp_hi, nnc, want_feat=True,
+            )
 
         for hi in range(h):
             q = q_ref[bi, :, hi * c_:(hi + 1) * c_]
@@ -457,11 +494,10 @@ def _bwd_kernel(*refs, h: int, cs: int, n_valid: int, rel_width: int,
                 preferred_element_type=jnp.float32, precision=prec,
             )
             bias = (
-                wpe_ref[0, hi] * dx + wpe_ref[1, hi] * dy
-                + (wpe_ref[2, hi] * d2 + wpe_ref[3, hi] * dy
-                   + wpe_ref[4, hi] * dx) * inv
+                biases[hi] if batch_inv
+                else head_bias(hi, dx, dy, d2, inv)
             )
-            logits = jnp.where(member, logits + bias + bpe_ref[hi], NEG_INF)
+            logits = jnp.where(member, logits + bias, NEG_INF)
             blank = jax.lax.dot_general(
                 q, bk_ref[:, hi:hi + 1], (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32, precision=prec,
@@ -576,6 +612,7 @@ def _attention_bwd_impl(q, kv, ncc, pos, pe_kernel, pe_bias, blank_k,
     kernel = functools.partial(
         _bwd_kernel, h=h, cs=cs, n_valid=n, rel_width=rel_width,
         clamp_hi=clamp_hi, hiprec=hiprec, windowed=window is not None,
+        batch_inv=static_ncc is not None,
     )
     out_shape = [
         jax.ShapeDtypeStruct((b, n, c), q.dtype),           # dq
@@ -747,11 +784,13 @@ def fused_cluster_attention(q, kv, ncc, pos, pe_kernel, pe_bias,
         num_heads: h.
         cs: cluster size; rel_width: R; clamp_width: table width for the
             MixRes clamp (0 = no clamp, AFF semantics).
-        static_ncc: optional host-constant (n, nnc) numpy copy of ``ncc``
-            (identical across the batch) — e.g. the on-grid stage, where
-            the token-to-cluster kNN is a pure function of (h, w). Enables
-            the windowed-K/V fast path: each query tile streams only its
-            cluster band instead of the full token axis.
+        static_ncc: optional host-constant (n, nnc) numpy copy of ``ncc``.
+            Contract: BOTH ``ncc`` and ``pos`` are identical across the
+            batch (true only for the on-grid stage, where clustering/kNN
+            are pure functions of (h, w)). Enables the windowed-K/V fast
+            path (each query tile streams only its cluster band) and
+            batch-invariant geometry hoisting (rel-pos/mask/bias planes
+            computed once per instance instead of per image).
 
     Returns:
         out (b, n, c) with the blank-token contribution already added.
