@@ -293,10 +293,10 @@ def _pad_rows(x, np_):
     return jnp.pad(x, pad)
 
 
-def _gb_for(b: int, per_image_bytes: int, budget: int) -> int:
+def _gb_for(b: int, per_image_bytes: int, budget: int, cap: int = 16) -> int:
     gb = 1
     while (
-        gb < 8
+        gb < cap
         and gb * 2 <= b
         and b % (gb * 2) == 0
         and (gb * 2) * per_image_bytes <= budget
@@ -324,11 +324,10 @@ def _attention_fwd_impl(q, kv, ncc, pos, pe_kernel, pe_bias, blank_k,
         # amortizes DMA latency / invocation overhead (measured: area
         # reductions alone moved stage-1 time ~1%)
         gb = _gb_for(b, 2 * W * c * 4, 8 * 1024 * 1024)
-    elif tq == n:
-        # small-n stages: one tiny instance per image otherwise
-        gb = _gb_for(b, n * 8, 8192 * 8)
     else:
-        gb = 1
+        # dense K/V per image; batching amortizes per-instance overhead
+        # (the small-n stages are otherwise launch-bound)
+        gb = _gb_for(b, np_ * 2 * c * 2, 8 * 1024 * 1024)
 
     kv_p = _pad_rows(kv, np_)
     pos_p = _pad_rows(pos, np_)
@@ -599,11 +598,12 @@ def _attention_bwd_impl(q, kv, ncc, pos, pe_kernel, pe_bias, blank_k,
         W = window[0]
         # dkv accumulates fp32 over np_ rows per image in VMEM
         gb = _gb_for(b, (2 * W * c * 4) + (2 * np_ * c * 4),
-                     24 * 1024 * 1024)
-    elif tq == n:
-        gb = _gb_for(b, n * 8, 8192 * 8)
+                     24 * 1024 * 1024, cap=8)
     else:
-        gb = 1
+        # cap 8: the unrolled gb*h backward body keeps more planes live
+        # than the forward (measured: gb=16 exceeds VMEM at stage-3 shapes)
+        gb = _gb_for(b, (np_ * 2 * c * 2) + (2 * np_ * c * 4),
+                     24 * 1024 * 1024, cap=8)
 
     kv_p = _pad_rows(kv, np_)
     pos_p = _pad_rows(pos, np_)

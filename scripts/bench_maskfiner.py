@@ -21,7 +21,7 @@ cache_dir = os.path.join(
 jax.config.update("jax_compilation_cache_dir", cache_dir)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-CHUNK = 10
+CHUNK = 4  # 7-backbone model: keep the unrolled chain compile-sized
 
 
 def main() -> None:
