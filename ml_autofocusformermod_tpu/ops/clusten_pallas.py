@@ -293,7 +293,17 @@ def _pad_rows(x, np_):
     return jnp.pad(x, pad)
 
 
-def _gb_for(b: int, per_image_bytes: int, budget: int, cap: int = 16) -> int:
+def _gb_for(b: int, per_image_bytes: int, budget: int, cap: int = 16,
+            h: int = 1) -> int:
+    """Images per kernel instance. Besides the VMEM budget, bound the
+    unrolled body size (gb * h iterations): Mosaic compile time grows
+    superlinearly with it, and models with many distinct kernel shapes
+    (MaskFiner: 7 backbones) otherwise take an hour to compile.
+    ``MLAFF_GB_CAP`` overrides for experiments."""
+    cap = min(cap, max(1, 64 // max(h, 1)))
+    env = os.environ.get("MLAFF_GB_CAP")
+    if env:
+        cap = min(cap, int(env))
     gb = 1
     while (
         gb < cap
@@ -323,11 +333,11 @@ def _attention_fwd_impl(q, kv, ncc, pos, pe_kernel, pe_bias, blank_k,
         # per-instance K/V re-stream; batching images per instance
         # amortizes DMA latency / invocation overhead (measured: area
         # reductions alone moved stage-1 time ~1%)
-        gb = _gb_for(b, 2 * W * c * 4, 8 * 1024 * 1024)
+        gb = _gb_for(b, 2 * W * c * 4, 8 * 1024 * 1024, h=h)
     else:
         # dense K/V per image; batching amortizes per-instance overhead
         # (the small-n stages are otherwise launch-bound)
-        gb = _gb_for(b, np_ * 2 * c * 2, 8 * 1024 * 1024)
+        gb = _gb_for(b, np_ * 2 * c * 2, 8 * 1024 * 1024, h=h)
 
     kv_p = _pad_rows(kv, np_)
     pos_p = _pad_rows(pos, np_)
@@ -598,12 +608,12 @@ def _attention_bwd_impl(q, kv, ncc, pos, pe_kernel, pe_bias, blank_k,
         W = window[0]
         # dkv accumulates fp32 over np_ rows per image in VMEM
         gb = _gb_for(b, (2 * W * c * 4) + (2 * np_ * c * 4),
-                     24 * 1024 * 1024, cap=8)
+                     24 * 1024 * 1024, cap=8, h=h)
     else:
         # cap 8: the unrolled gb*h backward body keeps more planes live
         # than the forward (measured: gb=16 exceeds VMEM at stage-3 shapes)
         gb = _gb_for(b, (np_ * 2 * c * 2) + (2 * np_ * c * 4),
-                     24 * 1024 * 1024, cap=8)
+                     24 * 1024 * 1024, cap=8, h=h)
 
     kv_p = _pad_rows(kv, np_)
     pos_p = _pad_rows(pos, np_)
