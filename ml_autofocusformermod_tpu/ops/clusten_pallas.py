@@ -89,25 +89,45 @@ def _pick_tile(n: int, np_: int, planes: int = 8) -> int:
 def _choose_tiling(n: int, np_: int, cs: int, static_ncc) -> Tuple[int, Optional[tuple]]:
     """(tq, window) for the kernel grid.
 
+    ``window`` is ``None`` (dense path) or ``(nb, Wb, np128, offs)`` with
+    ``offs`` of shape (nt, nb) holding 128-quantized element-window starts
+    (−1 = unused band slot): the K/V working set per query tile is ``nb``
+    bands of ``Wb`` rows each. A contiguous window is the ``nb = 1``
+    special case; the multi-band form exploits that a tile's neighbor
+    clusters live in ~3 separate scanline bands of the cluster order, so
+    its true working set is far narrower than the contiguous span.
+
     Windowed path (host-constant neighborhoods): the kernel's cost is VPU
-    work over the masked (tq, W) planes plus re-streaming the K/V window
-    per instance, and W shrinks as tiles get smaller (each tile spans a
-    narrower cluster band) — so pick tq minimizing ``nt * W * (tq + kappa)``
-    where kappa ≈ 16 rows models the HBM re-stream per instance.
+    work over the masked (tq, nb*Wb) planes plus re-streaming the K/V
+    bands per instance, and the working set shrinks as tiles get smaller —
+    pick tq minimizing ``nt * nb*Wb * (tq + kappa)`` where kappa ≈ 16 rows
+    models the HBM re-stream / per-DMA overhead per instance.
     Non-windowed path: largest VMEM-fitting tile (dense K/V is shared per
     instance, so bigger tiles amortize it best).
     """
     if static_ncc is not None and not _INTERPRET:
-        kappa = 16
+        kappa = int(os.environ.get("MLAFF_KAPPA", "16"))
+        forced = os.environ.get("MLAFF_TQ")  # experiment override
+        use_bands = os.environ.get("MLAFF_BANDS", "1") == "1"
         best = None
         t = 8
         while t <= min(n, 512):
             if n % t == 0:
+                cands = []
                 win = _static_window(static_ncc.arr, n, t, cs, np_)
                 if win is not None:
-                    cost = (n // t) * win[0] * (t + kappa)
+                    cands.append(win)
+                if use_bands:
+                    wb = _static_bands(static_ncc.arr, n, t, cs, np_)
+                    if wb is not None:
+                        cands.append(wb)
+                for cand in cands:
+                    nb, Wb = cand[0], cand[1]
+                    if forced and t == int(forced):
+                        return t, cand
+                    cost = (n // t) * nb * Wb * (t + kappa)
                     if best is None or cost < best[0]:
-                        best = (cost, t, win)
+                        best = (cost, t, cand)
             t += 8
         if best is not None:
             return best[1], best[2]
@@ -115,14 +135,16 @@ def _choose_tiling(n: int, np_: int, cs: int, static_ncc) -> Tuple[int, Optional
 
 
 def _static_window(static_ncc, n, tq, cs, np_):
-    """Per-tile K/V window (host, numpy) for compile-time-constant
-    neighborhoods (the on-grid stage): each query tile only touches a
-    contiguous band of clusters thanks to space-filling-curve locality.
+    """Per-tile contiguous K/V window (host, numpy) for
+    compile-time-constant neighborhoods (the on-grid stage): each query
+    tile only touches a band of clusters thanks to space-filling-curve
+    locality.
 
-    Returns ``(W, np128, offs)`` — window width in rows, the padded row
-    count, and per-tile *element* window starts (``pl.Element`` indexing;
-    quantized to 128, clamped in bounds) — or ``None`` if windowing does
-    not pay (window would cover most of the token axis anyway).
+    Returns ``(1, W, np128, offs (nt, 1))`` — window width in rows, the
+    padded row count, and per-tile *element* window starts (``pl.Element``
+    indexing; quantized to 128, clamped in bounds) — or ``None`` if
+    windowing does not pay (window would cover most of the token axis
+    anyway).
     """
     import numpy as np
 
@@ -138,10 +160,47 @@ def _static_window(static_ncc, n, tq, cs, np_):
     rmin = rmin // 128 * 128
     W = int((rmax - rmin).max())
     W = -(-W // 128) * 128
-    if W * 2 > np128:
+    # Windowing pays only while the band is a fraction of the token axis;
+    # past that, the dense path's VMEM-resident K/V reuse wins. 0.5 was
+    # tuned on stage-1; MLAFF_WFRAC widens it for experiments.
+    wfrac = float(os.environ.get("MLAFF_WFRAC", "0.5"))
+    if W > np128 * wfrac:
         return None
     offs = np.minimum(rmin, np128 - W) // 128
-    return W, np128, offs.astype(np.int32)
+    return 1, W, np128, offs.astype(np.int32)[:, None]
+
+
+def _static_bands(static_ncc, n, tq, cs, np_):
+    """Per-tile multi-band K/V windows (host, numpy): the exact set of
+    128-row blocks containing any neighbor cluster of the tile's queries.
+
+    A tile's neighbors live in ~3 separate scanline bands of the cluster
+    order, so the union of needed 128-blocks is much narrower than the
+    contiguous min..max span ``_static_window`` uses. Returns
+    ``(nb, 128, np128, offs (nt, nb))`` with −1 padding unused band slots
+    (the kernel masks them out; their index maps clamp to block 0), or
+    ``None`` when bands would not beat the dense path.
+    """
+    import numpy as np
+
+    nt = n // tq
+    np128 = -(-np_ // 128) * 128
+    ncc_t = np.asarray(static_ncc).reshape(nt, tq, -1)
+    per_tile = []
+    for ti in range(nt):
+        cls = np.unique(ncc_t[ti])
+        lo = cls * cs // 128
+        hi = ((cls + 1) * cs - 1) // 128
+        blocks = np.unique(np.concatenate([lo, hi]))
+        per_tile.append(blocks[blocks * 128 < np128])
+    nb = max(len(b) for b in per_tile)
+    wfrac = float(os.environ.get("MLAFF_WFRAC", "0.5"))
+    if nb * 128 > np128 * wfrac:
+        return None
+    offs = np.full((nt, nb), -1, np.int32)
+    for ti, blocks in enumerate(per_tile):
+        offs[ti, : len(blocks)] = blocks
+    return nb, 128, np128, offs
 
 
 class _StaticNcc:
@@ -201,22 +260,46 @@ def _geometry(posq_ref, posk_ref, ncc_ref, bi, tq, W, col0, cs, n_valid,
     return dx, dy, d2, inv, member
 
 
-def _fwd_kernel(*refs, h: int, cs: int, n_valid: int, rel_width: int,
-                clamp_hi: Optional[int], hiprec: bool, windowed: bool,
-                batch_inv: bool):
-    if windowed:
-        # scalar-prefetch ref with per-tile element window starts comes first
-        (off_ref, q_ref, kv_ref, posq_ref, posk_ref, ncc_ref, wpe_ref,
-         bpe_ref, bk_ref, bv_ref, out_ref) = refs
-        col0 = off_ref[pl.program_id(1)] * 128
+def _unpack_refs(refs, nb):
+    """Shared ref unpacking for fwd/bwd: windowed kernels take ``nb`` K/V
+    band refs and ``nb`` K-position band refs plus the scalar-prefetch
+    window starts; the dense path (nb=0) takes one full K/V + posk pair.
+
+    Returns (kv_refs, posk_refs, col0s, valids, rest) where ``rest`` is
+    (q_ref, other_refs...) in original order minus kv/posk.
+    """
+    if nb:
+        off_ref = refs[0]
+        q_ref = refs[1]
+        kv_refs = refs[2:2 + nb]
+        posq_ref = refs[2 + nb]
+        posk_refs = refs[3 + nb:3 + 2 * nb]
+        tail = refs[3 + 2 * nb:]
+        ti = pl.program_id(1)
+        raws = [off_ref[ti, j] for j in range(nb)]
+        col0s = [jnp.maximum(r, 0) * 128 for r in raws]
+        valids = [r >= 0 for r in raws]
     else:
-        (q_ref, kv_ref, posq_ref, posk_ref, ncc_ref, wpe_ref,
-         bpe_ref, bk_ref, bv_ref, out_ref) = refs
-        col0 = 0
+        q_ref = refs[0]
+        kv_refs = refs[1:2]
+        posq_ref = refs[2]
+        posk_refs = refs[3:4]
+        tail = refs[4:]
+        col0s = [0]
+        valids = [None]  # statically valid
+    return q_ref, kv_refs, posq_ref, posk_refs, col0s, valids, tail
+
+
+def _fwd_kernel(*refs, h: int, cs: int, n_valid: int, rel_width: int,
+                clamp_hi: Optional[int], hiprec: bool, nb: int,
+                batch_inv: bool):
+    (q_ref, kv_refs, posq_ref, posk_refs, col0s, valids,
+     (ncc_ref, wpe_ref, bpe_ref, bk_ref, bv_ref, out_ref)) = _unpack_refs(
+        refs, nb)
+    nbands = len(kv_refs)
     gb = q_ref.shape[0]  # images per kernel instance
     tq = q_ref.shape[1]
     c = q_ref.shape[2]
-    W = kv_ref.shape[1]
     nnc = ncc_ref.shape[2]
     c_ = c // h
     prec = jax.lax.Precision.HIGHEST if hiprec else None
@@ -230,37 +313,52 @@ def _fwd_kernel(*refs, h: int, cs: int, n_valid: int, rel_width: int,
         return (w0 * dx + w1 * dy + (w2 * d2 + w3 * dy + w4 * dx) * inv
                 + bpe_ref[hi])
 
+    def band_geometry(bi, j, want_feat=False):
+        g = _geometry(
+            posq_ref, posk_refs[j], ncc_ref, bi, tq,
+            kv_refs[j].shape[1], col0s[j], cs, n_valid,
+            rel_width, clamp_hi, nnc, want_feat=want_feat,
+        )
+        if valids[j] is not None:
+            g = g[:4] + (g[4] & valids[j],) + g[5:]
+        return g
+
     # batch-invariant path (on-grid stage): pos/ncc are identical for every
     # image of the instance, so geometry, membership and the per-head bias
-    # planes are computed ONCE instead of gb times (~halves VPU work)
+    # planes are computed ONCE instead of gb times (~halves VPU work).
+    # The mask is folded INTO the bias plane (non-member slots get NEG_INF):
+    # per image that turns select+add into one add, and the post-exp mask
+    # becomes free — exp(x + NEG_INF - mx) underflows to exactly 0.0.
     if batch_inv:
-        dx, dy, d2, inv, member = _geometry(
-            posq_ref, posk_ref, ncc_ref, 0, tq, W, col0, cs, n_valid,
-            rel_width, clamp_hi, nnc, want_feat=False,
-        )
-        biases = [head_bias(hi, dx, dy, d2, inv) for hi in range(h)]
+        geos = [band_geometry(0, j) for j in range(nbands)]
+        biases = [
+            [jnp.where(g[4], head_bias(hi, g[0], g[1], g[2], g[3]), NEG_INF)
+             for g in geos]
+            for hi in range(h)
+        ]
 
     for bi in range(gb):
         if not batch_inv:
-            dx, dy, d2, inv, member = _geometry(
-                posq_ref, posk_ref, ncc_ref, bi, tq, W, col0, cs, n_valid,
-                rel_width, clamp_hi, nnc, want_feat=False,
-            )
+            geos = [band_geometry(bi, j) for j in range(nbands)]
 
         # --- per-head attention (MXU) over the shared geometry ---
         for hi in range(h):
             q = q_ref[bi, :, hi * c_:(hi + 1) * c_]  # (tq, c_)
-            k = kv_ref[bi, :, 2 * hi * c_:(2 * hi + 1) * c_]  # (W, c_)
-            v = kv_ref[bi, :, (2 * hi + 1) * c_:(2 * hi + 2) * c_]
-            logits = jax.lax.dot_general(
-                q, k, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32, precision=prec,
-            )  # (tq, W)
-            bias = (
-                biases[hi] if batch_inv
-                else head_bias(hi, dx, dy, d2, inv)
-            )
-            logits = jnp.where(member, logits + bias, NEG_INF)
+            logits = []
+            for j in range(nbands):
+                k = kv_refs[j][bi, :, 2 * hi * c_:(2 * hi + 1) * c_]
+                lg = jax.lax.dot_general(
+                    q, k, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32, precision=prec,
+                )  # (tq, Wb)
+                if batch_inv:
+                    lg = lg + biases[hi][j]
+                else:
+                    dx, dy, d2, inv, member = geos[j]
+                    lg = jnp.where(
+                        member, lg + head_bias(hi, dx, dy, d2, inv), NEG_INF
+                    )
+                logits.append(lg)
 
             # blank logit on the MXU: q @ blank_k[:, hi]  (tq, 1)
             blank = jax.lax.dot_general(
@@ -268,19 +366,27 @@ def _fwd_kernel(*refs, h: int, cs: int, n_valid: int, rel_width: int,
                 (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32, precision=prec,
             )
-            mx = jnp.maximum(logits.max(axis=-1, keepdims=True), blank)
-            p = jnp.exp(logits - mx)
-            p = jnp.where(member, p, 0.0)
-            pb = jnp.exp(blank - mx)
-            denom = p.sum(axis=-1, keepdims=True) + pb
-            pb = pb / denom
-            p = (p / denom).astype(v.dtype)
+            mx = blank
+            for lg in logits:
+                mx = jnp.maximum(mx, lg.max(axis=-1, keepdims=True))
+            ps = []
+            denom = jnp.exp(blank - mx)  # pb numerator
+            pb_num = denom
+            for j, lg in enumerate(logits):
+                p = jnp.exp(lg - mx)
+                if not batch_inv:
+                    p = jnp.where(geos[j][4], p, 0.0)
+                ps.append(p)
+                denom = denom + p.sum(axis=-1, keepdims=True)
+            pb = pb_num / denom
 
-            out = jax.lax.dot_general(
-                p, v, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32, precision=prec,
-            )
-            out = out + pb * bv_ref[hi:hi + 1, :].astype(jnp.float32)
+            out = pb * bv_ref[hi:hi + 1, :].astype(jnp.float32)
+            for j, p in enumerate(ps):
+                v = kv_refs[j][bi, :, (2 * hi + 1) * c_:(2 * hi + 2) * c_]
+                out = out + jax.lax.dot_general(
+                    (p / denom).astype(v.dtype), v, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32, precision=prec,
+                )
             out_ref[bi, :, hi * c_:(hi + 1) * c_] = out.astype(out_ref.dtype)
 
 
@@ -328,13 +434,13 @@ def _attention_fwd_impl(q, kv, ncc, pos, pe_kernel, pe_bias, blank_k,
     hiprec = q.dtype == jnp.float32
 
     if window is not None:
-        np_ = window[1]  # K/V padded so clamped windows stay in bounds
-        W = window[0]
+        nb, Wb, np_, offs_np = window  # K/V padded so windows stay in bounds
         # per-instance K/V re-stream; batching images per instance
         # amortizes DMA latency / invocation overhead (measured: area
         # reductions alone moved stage-1 time ~1%)
-        gb = _gb_for(b, 2 * W * c * 4, 8 * 1024 * 1024, h=h)
+        gb = _gb_for(b, 2 * nb * Wb * c * 4, 8 * 1024 * 1024, h=h)
     else:
+        nb = 0
         # dense K/V per image; batching amortizes per-instance overhead
         # (the small-n stages are otherwise launch-bound)
         gb = _gb_for(b, np_ * 2 * c * 2, 8 * 1024 * 1024, h=h)
@@ -344,26 +450,50 @@ def _attention_fwd_impl(q, kv, ncc, pos, pe_kernel, pe_bias, blank_k,
 
     kernel = functools.partial(
         _fwd_kernel, h=h, cs=cs, n_valid=n, rel_width=rel_width,
-        clamp_hi=clamp_hi, hiprec=hiprec, windowed=window is not None,
+        clamp_hi=clamp_hi, hiprec=hiprec, nb=nb,
         batch_inv=static_ncc is not None,
     )
     out_shape = jax.ShapeDtypeStruct((b, n, c), q.dtype)
-    operands = (
-        q, kv_p, pos_q, pos_p.transpose(0, 2, 1), ncc,
+    pos_t = pos_p.transpose(0, 2, 1)
+    tail_operands = (
         pe_kernel.astype(jnp.float32), pe_bias.astype(jnp.float32),
         blank_k.astype(q.dtype), blank_v.astype(jnp.float32),
     )
+    tail_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # (5, h) pos_embed weights
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # (h,) pos_embed bias
+        pl.BlockSpec(memory_space=pltpu.VMEM),  # blank_k (c_, h)
+        pl.BlockSpec(memory_space=pltpu.VMEM),  # blank_v (h, c_)
+    ]
     compiler_params = pltpu.CompilerParams(
         vmem_limit_bytes=100 * 1024 * 1024
     )
 
     if window is not None:
-        W, _, offs_np = window
         # K/V (and K-positions) ride element-indexed windows: each query
-        # tile streams only its cluster band (pl.Element allows unaligned
-        # dynamic starts; Blocked indexing would force aligned W-blocks,
-        # which doubles W until it covers the whole token axis)
+        # tile streams only its cluster band(s) (pl.Element allows
+        # unaligned dynamic starts; Blocked indexing would force aligned
+        # W-blocks, which doubles W until it covers the whole token axis).
+        # Multi-band (nb > 1): the same kv/pos arrays are passed once per
+        # band with per-band window starts; −1 band slots clamp to block 0
+        # and are masked inside the kernel.
         el = pl.Element
+        kv_specs = [
+            pl.BlockSpec(
+                (el(gb), el(Wb), el(2 * c)),
+                (lambda j: lambda bi, ti, offs:
+                 (bi * gb, jnp.maximum(offs[ti, j], 0) * 128, 0))(j),
+                memory_space=pltpu.VMEM)
+            for j in range(nb)
+        ]
+        posk_specs = [
+            pl.BlockSpec(
+                (el(gb), el(2), el(Wb)),
+                (lambda j: lambda bi, ti, offs:
+                 (bi * gb, 0, jnp.maximum(offs[ti, j], 0) * 128))(j),
+                memory_space=pltpu.VMEM)
+            for j in range(nb)
+        ]
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(b // gb, n // tq),
@@ -371,24 +501,15 @@ def _attention_fwd_impl(q, kv, ncc, pos, pe_kernel, pe_bias, blank_k,
                 pl.BlockSpec((gb, tq, c),
                              lambda bi, ti, offs: (bi, ti, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((el(gb), el(W), el(2 * c)),
-                             lambda bi, ti, offs:
-                             (bi * gb, offs[ti] * 128, 0),
-                             memory_space=pltpu.VMEM),
+                *kv_specs,
                 pl.BlockSpec((gb, tq, 2),
                              lambda bi, ti, offs: (bi, ti, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((el(gb), el(2), el(W)),
-                             lambda bi, ti, offs:
-                             (bi * gb, 0, offs[ti] * 128),
-                             memory_space=pltpu.VMEM),
+                *posk_specs,
                 pl.BlockSpec((gb, tq, nnc),
                              lambda bi, ti, offs: (bi, ti, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec(memory_space=pltpu.SMEM),
-                pl.BlockSpec(memory_space=pltpu.SMEM),
-                pl.BlockSpec(memory_space=pltpu.VMEM),  # blank_k (c_, h)
-                pl.BlockSpec(memory_space=pltpu.VMEM),  # blank_v (h, c_)
+                *tail_specs,
             ],
             out_specs=pl.BlockSpec(
                 (gb, tq, c), lambda bi, ti, offs: (bi, ti, 0),
@@ -401,7 +522,8 @@ def _attention_fwd_impl(q, kv, ncc, pos, pe_kernel, pe_bias, blank_k,
             interpret=_INTERPRET,
             compiler_params=compiler_params,
             out_shape=out_shape,
-        )(jnp.asarray(offs_np), *operands)
+        )(jnp.asarray(offs_np), q, *([kv_p] * nb), pos_q, *([pos_t] * nb),
+          ncc, *tail_operands)
 
     return pl.pallas_call(
         kernel,
@@ -419,21 +541,18 @@ def _attention_fwd_impl(q, kv, ncc, pos, pe_kernel, pe_bias, blank_k,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((gb, tq, nnc), lambda bi, ti: (bi, ti, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # (5, h) pos_embed weights
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # (h,) pos_embed bias
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # blank_k (c_, h)
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # blank_v (h, c_)
+            *tail_specs,
         ],
         out_specs=pl.BlockSpec(
             (gb, tq, c), lambda bi, ti: (bi, ti, 0),
             memory_space=pltpu.VMEM,
         ),
         out_shape=out_shape,
-    )(*operands)
+    )(q, kv_p, pos_q, pos_t, ncc, *tail_operands)
 
 
 def _bwd_kernel(*refs, h: int, cs: int, n_valid: int, rel_width: int,
-                clamp_hi: Optional[int], hiprec: bool, windowed: bool,
+                clamp_hi: Optional[int], hiprec: bool, nb: int,
                 batch_inv: bool):
     """Fused backward: recomputes the forward softmax per query tile (flash
     style — nothing but the inputs is saved), then produces dq per tile and
@@ -441,20 +560,13 @@ def _bwd_kernel(*refs, h: int, cs: int, n_valid: int, rel_width: int,
     blocks across the sequential query-tile grid (the reference's
     ``fastAtomicAdd`` scatters become in-VMEM accumulation — deterministic
     by construction)."""
-    if windowed:
-        (off_ref, q_ref, kv_ref, posq_ref, posk_ref, ncc_ref, wpe_ref,
-         bpe_ref, bk_ref, bv_ref, gout_ref,
-         dq_ref, dkv_ref, dpe_ref, dblank_ref) = refs
-        col0 = off_ref[pl.program_id(1)] * 128
-    else:
-        (q_ref, kv_ref, posq_ref, posk_ref, ncc_ref, wpe_ref,
-         bpe_ref, bk_ref, bv_ref, gout_ref,
-         dq_ref, dkv_ref, dpe_ref, dblank_ref) = refs
-        col0 = 0
+    (q_ref, kv_refs, posq_ref, posk_refs, col0s, valids,
+     (ncc_ref, wpe_ref, bpe_ref, bk_ref, bv_ref, gout_ref,
+      dq_ref, dkv_ref, dpe_ref, dblank_ref)) = _unpack_refs(refs, nb)
+    nbands = len(kv_refs)
     gb = q_ref.shape[0]
     tq = q_ref.shape[1]
     c = q_ref.shape[2]
-    W = kv_ref.shape[1]
     nnc = ncc_ref.shape[2]
     c_ = c // h
     ti = pl.program_id(1)
@@ -478,88 +590,137 @@ def _bwd_kernel(*refs, h: int, cs: int, n_valid: int, rel_width: int,
             + bpe_ref[hi]
         )
 
-    # batch-invariant hoist: see _fwd_kernel (same contract via static_ncc)
-    if batch_inv:
-        dx, dy, d2, inv, member, dist, sinp, cosp = _geometry(
-            posq_ref, posk_ref, ncc_ref, 0, tq, W, col0, cs, n_valid,
+    def band_geometry(bi, j):
+        g = _geometry(
+            posq_ref, posk_refs[j], ncc_ref, bi, tq,
+            kv_refs[j].shape[1], col0s[j], cs, n_valid,
             rel_width, clamp_hi, nnc, want_feat=True,
         )
-        biases = [head_bias(hi, dx, dy, d2, inv) for hi in range(h)]
+        if valids[j] is not None:
+            g = g[:4] + (g[4] & valids[j],) + g[5:]
+        return g
+
+    # batch-invariant hoist: see _fwd_kernel (same contract via static_ncc);
+    # mask folded into the bias plane exactly as in the forward
+    if batch_inv:
+        geos = [band_geometry(0, j) for j in range(nbands)]
+        biases = [
+            [jnp.where(g[4], head_bias(hi, g[0], g[1], g[2], g[3]), NEG_INF)
+             for g in geos]
+            for hi in range(h)
+        ]
 
     for bi in range(gb):
         if not batch_inv:
-            dx, dy, d2, inv, member, dist, sinp, cosp = _geometry(
-                posq_ref, posk_ref, ncc_ref, bi, tq, W, col0, cs, n_valid,
-                rel_width, clamp_hi, nnc, want_feat=True,
-            )
+            geos = [band_geometry(bi, j) for j in range(nbands)]
 
         for hi in range(h):
             q = q_ref[bi, :, hi * c_:(hi + 1) * c_]
-            k = kv_ref[bi, :, 2 * hi * c_:(2 * hi + 1) * c_]
-            v = kv_ref[bi, :, (2 * hi + 1) * c_:(2 * hi + 2) * c_]
-            md = k.dtype
-            logits = jax.lax.dot_general(
-                q, k, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32, precision=prec,
-            )
-            bias = (
-                biases[hi] if batch_inv
-                else head_bias(hi, dx, dy, d2, inv)
-            )
-            logits = jnp.where(member, logits + bias, NEG_INF)
+            go = gout_ref[bi, :, hi * c_:(hi + 1) * c_]  # (tq, c_)
+            go32 = go.astype(jnp.float32)
+            md = kv_refs[0].dtype
+
+            # --- recompute the softmax across bands (flash style) ---
+            logits = []
+            for j in range(nbands):
+                k = kv_refs[j][bi, :, 2 * hi * c_:(2 * hi + 1) * c_]
+                lg = jax.lax.dot_general(
+                    q, k, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32, precision=prec,
+                )
+                if batch_inv:
+                    lg = lg + biases[hi][j]
+                else:
+                    g = geos[j]
+                    lg = jnp.where(
+                        g[4], lg + head_bias(hi, g[0], g[1], g[2], g[3]),
+                        NEG_INF,
+                    )
+                logits.append(lg)
             blank = jax.lax.dot_general(
                 q, bk_ref[:, hi:hi + 1], (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32, precision=prec,
             )  # (tq, 1)
-            mx = jnp.maximum(logits.max(axis=-1, keepdims=True), blank)
-            p = jnp.exp(logits - mx)
-            p = jnp.where(member, p, 0.0)
-            pb = jnp.exp(blank - mx)
-            pinv = 1.0 / (p.sum(axis=-1, keepdims=True) + pb)
-            p = p * pinv
-            pb = pb * pinv
+            mx = blank
+            for lg in logits:
+                mx = jnp.maximum(mx, lg.max(axis=-1, keepdims=True))
+            ps = []
+            denom = jnp.exp(blank - mx)
+            pb_num = denom
+            for j, lg in enumerate(logits):
+                p = jnp.exp(lg - mx)
+                if not batch_inv:
+                    p = jnp.where(geos[j][4], p, 0.0)
+                ps.append(p)
+                denom = denom + p.sum(axis=-1, keepdims=True)
+            pinv = 1.0 / denom
+            ps = [p * pinv for p in ps]
+            pb = pb_num * pinv
 
-            go = gout_ref[bi, :, hi * c_:(hi + 1) * c_]  # (tq, c_)
-            go32 = go.astype(jnp.float32)
-            dp = jax.lax.dot_general(
-                go, v, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32, precision=prec,
-            )  # (tq, W)
+            # --- softmax backward across bands ---
             dpb = jax.lax.dot_general(
                 go32, bv_ref[hi:hi + 1, :], (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32, precision=prec,
             )  # (tq, 1)
-            s = (dp * p).sum(axis=-1, keepdims=True) + dpb * pb
-            dl = p * (dp - s)  # (tq, W) fp32; zero at non-member slots
+            dps = []
+            s = dpb * pb
+            for j, p in enumerate(ps):
+                v = kv_refs[j][bi, :, (2 * hi + 1) * c_:(2 * hi + 2) * c_]
+                dp = jax.lax.dot_general(
+                    go, v, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32, precision=prec,
+                )  # (tq, Wb)
+                dps.append(dp)
+                s = s + (dp * p).sum(axis=-1, keepdims=True)
             dlb = pb * (dpb - s)  # (tq, 1)
 
-            dlm = dl.astype(md)
-            dq = jax.lax.dot_general(
-                dlm, k, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32, precision=prec,
-            ) + dlb * bk_ref[:, hi].astype(jnp.float32)[None, :]
-            dq_ref[bi, :, hi * c_:(hi + 1) * c_] = dq.astype(dq_ref.dtype)
+            dq = dlb * bk_ref[:, hi].astype(jnp.float32)[None, :]
+            for j, (p, dp) in enumerate(zip(ps, dps)):
+                dl = p * (dp - s)  # (tq, Wb) fp32; 0 at non-member slots
+                dlm = dl.astype(md)
+                k = kv_refs[j][bi, :, 2 * hi * c_:(2 * hi + 1) * c_]
+                dq = dq + jax.lax.dot_general(
+                    dlm, k, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32, precision=prec,
+                )
 
-            dkw = jax.lax.dot_general(
-                dlm, q, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32, precision=prec,
-            )  # (W, c_)
-            dvw = jax.lax.dot_general(
-                p.astype(md), go, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32, precision=prec,
-            )  # (W, c_)
-            k0 = 2 * hi * c_
-            v0 = (2 * hi + 1) * c_
-            if windowed:
-                dkv_ref[bi, pl.ds(col0, W), k0:k0 + c_] = (
-                    dkv_ref[bi, pl.ds(col0, W), k0:k0 + c_] + dkw
+                dkw = jax.lax.dot_general(
+                    dlm, q, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32, precision=prec,
+                )  # (Wb, c_)
+                dvw = jax.lax.dot_general(
+                    p.astype(md), go, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32, precision=prec,
+                )  # (Wb, c_)
+                k0 = 2 * hi * c_
+                v0 = (2 * hi + 1) * c_
+                Wb = kv_refs[j].shape[1]
+                if nb:
+                    dkv_ref[bi, pl.ds(col0s[j], Wb), k0:k0 + c_] = (
+                        dkv_ref[bi, pl.ds(col0s[j], Wb), k0:k0 + c_] + dkw
+                    )
+                    dkv_ref[bi, pl.ds(col0s[j], Wb), v0:v0 + c_] = (
+                        dkv_ref[bi, pl.ds(col0s[j], Wb), v0:v0 + c_] + dvw
+                    )
+                else:
+                    dkv_ref[bi, :, k0:k0 + c_] = (
+                        dkv_ref[bi, :, k0:k0 + c_] + dkw
+                    )
+                    dkv_ref[bi, :, v0:v0 + c_] = (
+                        dkv_ref[bi, :, v0:v0 + c_] + dvw
+                    )
+
+                dx, dy = geos[j][0], geos[j][1]
+                dist, sinp, cosp = geos[j][5], geos[j][6], geos[j][7]
+                for f, plane in enumerate((dx, dy, dist, sinp, cosp)):
+                    val = (dl * plane).sum()
+                    dpe_tile = dpe_tile + jnp.where(
+                        (row_i == f) & (lane_i == hi), val, 0.0
+                    )
+                dpe_tile = dpe_tile + jnp.where(
+                    (row_i == 5) & (lane_i == hi), dl.sum(), 0.0
                 )
-                dkv_ref[bi, pl.ds(col0, W), v0:v0 + c_] = (
-                    dkv_ref[bi, pl.ds(col0, W), v0:v0 + c_] + dvw
-                )
-            else:
-                dkv_ref[bi, :, k0:k0 + c_] = dkv_ref[bi, :, k0:k0 + c_] + dkw
-                dkv_ref[bi, :, v0:v0 + c_] = dkv_ref[bi, :, v0:v0 + c_] + dvw
+            dq_ref[bi, :, hi * c_:(hi + 1) * c_] = dq.astype(dq_ref.dtype)
 
             # blank grads: rows [0, c_) = d_blank_k, rows [c_, 2c_) = d_blank_v
             dbk = jax.lax.dot_general(
@@ -575,15 +736,6 @@ def _bwd_kernel(*refs, h: int, cs: int, n_valid: int, rel_width: int,
             )
             dblank_ref[0, c_:2 * c_, hi:hi + 1] = (
                 dblank_ref[0, c_:2 * c_, hi:hi + 1] + dbv.reshape(c_, 1)
-            )
-
-            for f, plane in enumerate((dx, dy, dist, sinp, cosp)):
-                val = (dl * plane).sum()
-                dpe_tile = dpe_tile + jnp.where(
-                    (row_i == f) & (lane_i == hi), val, 0.0
-                )
-            dpe_tile = dpe_tile + jnp.where(
-                (row_i == 5) & (lane_i == hi), dl.sum(), 0.0
             )
     dpe_ref[...] = dpe_ref[...] + dpe_tile
 
@@ -604,12 +756,12 @@ def _attention_bwd_impl(q, kv, ncc, pos, pe_kernel, pe_bias, blank_k,
     hiprec = q.dtype == jnp.float32
 
     if window is not None:
-        np_ = window[1]
-        W = window[0]
+        nb, Wb, np_, offs_np = window
         # dkv accumulates fp32 over np_ rows per image in VMEM
-        gb = _gb_for(b, (2 * W * c * 4) + (2 * np_ * c * 4),
+        gb = _gb_for(b, (2 * nb * Wb * c * 4) + (2 * np_ * c * 4),
                      24 * 1024 * 1024, cap=8, h=h)
     else:
+        nb = 0
         # cap 8: the unrolled gb*h backward body keeps more planes live
         # than the forward (measured: gb=16 exceeds VMEM at stage-3 shapes)
         gb = _gb_for(b, (np_ * 2 * c * 2) + (2 * np_ * c * 4),
@@ -621,7 +773,7 @@ def _attention_bwd_impl(q, kv, ncc, pos, pe_kernel, pe_bias, blank_k,
     nt = n // tq
     kernel = functools.partial(
         _bwd_kernel, h=h, cs=cs, n_valid=n, rel_width=rel_width,
-        clamp_hi=clamp_hi, hiprec=hiprec, windowed=window is not None,
+        clamp_hi=clamp_hi, hiprec=hiprec, nb=nb,
         batch_inv=static_ncc is not None,
     )
     out_shape = [
@@ -630,8 +782,7 @@ def _attention_bwd_impl(q, kv, ncc, pos, pe_kernel, pe_bias, blank_k,
         jax.ShapeDtypeStruct((b // gb, 8, 128), jnp.float32),    # pe parts
         jax.ShapeDtypeStruct((b // gb, 2 * c_, h), jnp.float32),  # blank parts
     ]
-    operands = (
-        q, kv_p, pos_q, pos_p.transpose(0, 2, 1), ncc,
+    tail_operands = (
         pe_kernel.astype(jnp.float32), pe_bias.astype(jnp.float32),
         blank_k.astype(q.dtype), blank_v.astype(jnp.float32), g_out,
     )
@@ -667,8 +818,23 @@ def _attention_bwd_impl(q, kv, ncc, pos, pe_kernel, pe_bias, blank_k,
         ]
 
     if window is not None:
-        W, _, offs_np = window
         el = pl.Element
+        kv_specs = [
+            pl.BlockSpec(
+                (el(gb), el(Wb), el(2 * c)),
+                (lambda j: lambda bi, ti, offs:
+                 (bi * gb, jnp.maximum(offs[ti, j], 0) * 128, 0))(j),
+                memory_space=pltpu.VMEM)
+            for j in range(nb)
+        ]
+        posk_specs = [
+            pl.BlockSpec(
+                (el(gb), el(2), el(Wb)),
+                (lambda j: lambda bi, ti, offs:
+                 (bi * gb, 0, jnp.maximum(offs[ti, j], 0) * 128))(j),
+                memory_space=pltpu.VMEM)
+            for j in range(nb)
+        ]
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(b // gb, nt),
@@ -676,17 +842,11 @@ def _attention_bwd_impl(q, kv, ncc, pos, pe_kernel, pe_bias, blank_k,
                 pl.BlockSpec((gb, tq, c),
                              lambda bi, ti, offs: (bi, ti, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((el(gb), el(W), el(2 * c)),
-                             lambda bi, ti, offs:
-                             (bi * gb, offs[ti] * 128, 0),
-                             memory_space=pltpu.VMEM),
+                *kv_specs,
                 pl.BlockSpec((gb, tq, 2),
                              lambda bi, ti, offs: (bi, ti, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((el(gb), el(2), el(W)),
-                             lambda bi, ti, offs:
-                             (bi * gb, 0, offs[ti] * 128),
-                             memory_space=pltpu.VMEM),
+                *posk_specs,
                 pl.BlockSpec((gb, tq, nnc),
                              lambda bi, ti, offs: (bi, ti, 0),
                              memory_space=pltpu.VMEM),
@@ -706,7 +866,8 @@ def _attention_bwd_impl(q, kv, ncc, pos, pe_kernel, pe_bias, blank_k,
             interpret=_INTERPRET,
             compiler_params=compiler_params,
             out_shape=out_shape,
-        )(jnp.asarray(offs_np), *operands)
+        )(jnp.asarray(offs_np), q, *([kv_p] * nb), pos_q,
+          *([pos_p.transpose(0, 2, 1)] * nb), ncc, *tail_operands)
     else:
         outs = pl.pallas_call(
             kernel,
@@ -733,7 +894,7 @@ def _attention_bwd_impl(q, kv, ncc, pos, pe_kernel, pe_bias, blank_k,
             ],
             out_specs=out_specs(False),
             out_shape=out_shape,
-        )(*operands)
+        )(q, kv_p, pos_q, pos_p.transpose(0, 2, 1), ncc, *tail_operands)
 
     dq, dkv, dpe, dblank = outs
     dpe_sum = dpe.sum(axis=0)  # (8, 128)

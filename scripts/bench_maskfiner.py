@@ -21,7 +21,8 @@ cache_dir = os.path.join(
 jax.config.update("jax_compilation_cache_dir", cache_dir)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-CHUNK = 4  # 7-backbone model: keep the unrolled chain compile-sized
+CHUNK = 2  # 7-backbone model: keep the unrolled chain compile-sized
+           # (CHUNK=4 pushed the remote compile past 50 min)
 
 
 def main() -> None:

@@ -1,6 +1,11 @@
-"""Secondary benchmarks on one chip: AFF-Mini train step, AFF-Small forward.
+"""Secondary benchmarks on one chip: AFF forward for every 1K preset, plus
+the AFF-Mini full train step.
 
-Usage: python scripts/bench_train.py {mini_train,small_fwd}
+Usage:
+    python scripts/bench_train.py fwd <preset>   # mini, mini_1_5th, tiny,
+                                                 # tiny_1_5th, small, small_1_5th
+    python scripts/bench_train.py mini_train
+    python scripts/bench_train.py small_fwd      # alias for: fwd small
 
 Same chained-jit protocol as bench.py (per-dispatch tunnel latency excluded):
 CHUNK steps inside one jit, inputs perturbed per iteration so XLA cannot CSE,
@@ -16,33 +21,69 @@ import time
 import jax
 import jax.numpy as jnp
 
-cache_dir = os.path.join(
-    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"
-)
-jax.config.update("jax_compilation_cache_dir", cache_dir)
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+jax.config.update("jax_compilation_cache_dir", os.path.join(REPO, ".jax_cache"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 BATCH = 128
 CHUNK = 10
 
+# Reference's published single-V100 FPS (README.md:46-51). The base 22kto1k
+# models have no published FPS (README.md:59 lists only acc/params/FLOPs).
+V100_FPS = {
+    "mini": 1337.0,
+    "mini_1_5th": 1678.0,
+    "tiny": 528.0,
+    "tiny_1_5th": 682.0,
+    "small": 321.0,
+    "small_1_5th": 424.0,
+    "base_22kto1k": None,
+    "base_22kto1k_384": None,
+}
 
-def _model(name: str):
-    from ml_autofocusformermod_tpu.models.aff import AutoFocusFormer
+# Forward-bench batch per preset (BATCH for everything but the big 384 model).
+FWD_BATCH = {"base_22kto1k_384": 32}
 
-    if name == "mini":
-        return AutoFocusFormer(
-            num_classes=1000, embed_dim=(32, 128, 256, 384), cluster_size=8,
-            nbhd_size=(48, 48, 48, 49), depths=(2, 2, 6, 2),
-            num_heads=(2, 4, 8, 16), mlp_ratio=2.0, img_size=224,
-            use_pallas=True, dtype=jnp.bfloat16,
-        )
-    # AFF-Small (configs/aff_small.yaml)
-    return AutoFocusFormer(
-        num_classes=1000, embed_dim=(96, 192, 384, 768), cluster_size=8,
-        nbhd_size=(48, 48, 48, 49), depths=(2, 2, 18, 2),
-        num_heads=(3, 6, 12, 24), mlp_ratio=3.0, img_size=224,
-        use_pallas=True, dtype=jnp.bfloat16,
+
+def _build(preset: str):
+    from ml_autofocusformermod_tpu.config import load_config
+    from ml_autofocusformermod_tpu.models.build import build_model
+
+    cfg_path = os.path.join(
+        REPO, "ml_autofocusformermod_tpu", "configs", f"aff_{preset}.yaml"
     )
+    config = load_config(cfg_path)
+    config.defrost()
+    config.TPU.COMPUTE_DTYPE = "bfloat16"
+    config.freeze()
+    return config, build_model(config)
+
+
+def fwd(preset: str) -> None:
+    config, model = _build(preset)
+    batch = FWD_BATCH.get(preset, BATCH)
+    size = config.DATA.IMG_SIZE
+    images = jax.random.normal(jax.random.PRNGKey(1), (batch, size, size, 3))
+    variables = model.init(jax.random.PRNGKey(0), images[:1], training=False)
+
+    @jax.jit
+    def chain(variables, images):
+        acc = 0.0
+        for i in range(CHUNK):
+            logits = model.apply(
+                variables, images + jnp.float32(i) * 1e-6, training=False
+            )
+            acc = acc + logits.astype(jnp.float32).sum()
+        return acc
+
+    sec = _timed(chain, variables, images)
+    fps = CHUNK * batch / sec
+    baseline = V100_FPS[preset]
+    print(json.dumps({
+        "metric": f"aff_{preset}_{size}_fwd_images_per_sec",
+        "value": round(fps, 1), "unit": "img/s",
+        "vs_baseline": None if baseline is None else round(fps / baseline, 3),
+    }))
 
 
 def _timed(fn, *args) -> float:
@@ -57,41 +98,11 @@ def _timed(fn, *args) -> float:
     return (t2 - t1) / reps
 
 
-def small_fwd() -> None:
-    model = _model("small")
-    images = jax.random.normal(jax.random.PRNGKey(1), (BATCH, 224, 224, 3))
-    variables = model.init(jax.random.PRNGKey(0), images[:1], training=False)
-
-    @jax.jit
-    def chain(variables, images):
-        acc = 0.0
-        for i in range(CHUNK):
-            logits = model.apply(
-                variables, images + jnp.float32(i) * 1e-6, training=False
-            )
-            acc = acc + logits.astype(jnp.float32).sum()
-        return acc
-
-    sec = _timed(chain, variables, images)
-    fps = CHUNK * BATCH / sec
-    print(json.dumps({
-        "metric": "aff_small_224_fwd_images_per_sec",
-        "value": round(fps, 1), "unit": "img/s",
-        "vs_baseline": round(fps / 321.0, 3),  # README.md:50, V100
-    }))
-
-
 def mini_train() -> None:
     """Full train step (mixup + fwd + bwd + clip + AdamW + EMA) on AFF-Mini."""
-    from ml_autofocusformermod_tpu.config import load_config
     from ml_autofocusformermod_tpu.train import trainer
 
-    cfg_path = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "ml_autofocusformermod_tpu", "configs", "aff_mini.yaml",
-    )
-    cfg = load_config(cfg_path)
-    model = _model("mini")
+    cfg, model = _build("mini")
     images = jax.random.normal(jax.random.PRNGKey(1), (BATCH, 224, 224, 3))
     labels = jnp.arange(BATCH) % 1000
     state, tx, schedule = trainer.create_train_state(
@@ -129,4 +140,9 @@ def mini_train() -> None:
 
 if __name__ == "__main__":
     mode = sys.argv[1] if len(sys.argv) > 1 else "mini_train"
-    {"mini_train": mini_train, "small_fwd": small_fwd}[mode]()
+    if mode == "fwd":
+        fwd(sys.argv[2])
+    elif mode == "small_fwd":
+        fwd("small")
+    else:
+        mini_train()
