@@ -108,7 +108,11 @@ def _choose_tiling(n: int, np_: int, cs: int, static_ncc) -> Tuple[int, Optional
     if static_ncc is not None and not _INTERPRET:
         kappa = int(os.environ.get("MLAFF_KAPPA", "16"))
         forced = os.environ.get("MLAFF_TQ")  # experiment override
-        use_bands = os.environ.get("MLAFF_BANDS", "1") == "1"
+        # default OFF: measured slower than the contiguous window at mini
+        # stage-1 (2013 vs ~2270 img/s model-level) — the 5 per-band
+        # element-indexed DMAs per grid step cost more than the narrower
+        # planes save. Kept for experiments (large-window shapes may differ).
+        use_bands = os.environ.get("MLAFF_BANDS", "0") == "1"
         best = None
         t = 8
         while t <= min(n, 512):
@@ -222,19 +226,20 @@ class _StaticNcc:
         return isinstance(other, _StaticNcc) and self._key == other._key
 
 
-def _geometry(posq_ref, posk_ref, ncc_ref, bi, tq, W, col0, cs, n_valid,
+def _geometry(posq_ref, pxk, pyk, ncc_ref, bi, tq, W, col0, cs, n_valid,
               rel_width, clamp_hi, nnc, want_feat: bool):
     """Shared per-image geometry: rel-pos planes + the neighborhood mask.
 
-    K positions arrive transposed (2, np) so x/y are LANE vectors —
-    broadcasting a sublane-extracted column across lanes forces a
-    catastrophic relayout. Geometry stays fp32: bf16 compares are
-    unsupported on v5e and bf16 rsqrt/fma chains crash the LLO scheduler.
+    K positions arrive transposed (2, np) so x/y are LANE vectors (passed
+    pre-extracted by the caller) — broadcasting a sublane-extracted column
+    across lanes forces a catastrophic relayout. Geometry stays fp32: bf16
+    compares are unsupported on v5e and bf16 rsqrt/fma chains crash the
+    LLO scheduler.
     """
     pxq = posq_ref[bi, :, 0:1].astype(jnp.float32)  # (tq, 1) sublane vec
     pyq = posq_ref[bi, :, 1:2].astype(jnp.float32)
-    pxk = posk_ref[bi, 0, :].astype(jnp.float32)  # (np,) lane vector
-    pyk = posk_ref[bi, 1, :].astype(jnp.float32)
+    pxk = pxk.astype(jnp.float32)  # (W,) lane vector
+    pyk = pyk.astype(jnp.float32)
     dx = pxk[None, :] - pxq  # (tq, W)
     dy = pyk[None, :] - pyq
     if clamp_hi is not None:
@@ -260,43 +265,63 @@ def _geometry(posq_ref, posk_ref, ncc_ref, bi, tq, W, col0, cs, n_valid,
     return dx, dy, d2, inv, member
 
 
-def _unpack_refs(refs, nb):
-    """Shared ref unpacking for fwd/bwd: windowed kernels take ``nb`` K/V
-    band refs and ``nb`` K-position band refs plus the scalar-prefetch
-    window starts; the dense path (nb=0) takes one full K/V + posk pair.
+def _unpack_refs(refs, nb, wb):
+    """Shared ref unpacking for fwd/bwd.
 
-    Returns (kv_refs, posk_refs, col0s, valids, rest) where ``rest`` is
-    (q_ref, other_refs...) in original order minus kv/posk.
+    Windowed kernels (nb >= 1) hold the FULL K/V and transposed K-position
+    blocks resident in VMEM (fetched once per image group — their index
+    maps ignore the tile dim, so Pallas skips the re-fetch) and slice each
+    tile's ``nb`` bands of ``wb`` rows in-kernel at the scalar-prefetched,
+    128-quantized window starts. The dense path (nb=0) reads the full
+    blocks directly (wb = padded row count).
+
+    Returns (q_ref, get_kv, get_pos, col0s, valids, tail) where
+    ``get_kv(j, bi, c0, c1)`` loads band j's (wb, c1-c0) K/V slice and
+    ``get_pos(j, bi)`` its (pxk, pyk) lane vectors.
     """
     if nb:
         off_ref = refs[0]
         q_ref = refs[1]
-        kv_refs = refs[2:2 + nb]
-        posq_ref = refs[2 + nb]
-        posk_refs = refs[3 + nb:3 + 2 * nb]
-        tail = refs[3 + 2 * nb:]
+        kv_ref = refs[2]
+        posq_ref = refs[3]
+        posk_ref = refs[4]
+        tail = refs[5:]
         ti = pl.program_id(1)
         raws = [off_ref[ti, j] for j in range(nb)]
         col0s = [jnp.maximum(r, 0) * 128 for r in raws]
         valids = [r >= 0 for r in raws]
+
+        def get_kv(j, bi, c0, c1):
+            return kv_ref[bi, pl.ds(col0s[j], wb), c0:c1]
+
+        def get_pos(j, bi):
+            return (posk_ref[bi, 0, pl.ds(col0s[j], wb)],
+                    posk_ref[bi, 1, pl.ds(col0s[j], wb)])
     else:
         q_ref = refs[0]
-        kv_refs = refs[1:2]
+        kv_ref = refs[1]
         posq_ref = refs[2]
-        posk_refs = refs[3:4]
+        posk_ref = refs[3]
         tail = refs[4:]
         col0s = [0]
         valids = [None]  # statically valid
-    return q_ref, kv_refs, posq_ref, posk_refs, col0s, valids, tail
+
+        def get_kv(j, bi, c0, c1):
+            return kv_ref[bi, :, c0:c1]
+
+        def get_pos(j, bi):
+            return posk_ref[bi, 0, :], posk_ref[bi, 1, :]
+
+    return q_ref, posq_ref, get_kv, get_pos, col0s, valids, tail
 
 
 def _fwd_kernel(*refs, h: int, cs: int, n_valid: int, rel_width: int,
-                clamp_hi: Optional[int], hiprec: bool, nb: int,
+                clamp_hi: Optional[int], hiprec: bool, nb: int, wb: int,
                 batch_inv: bool):
-    (q_ref, kv_refs, posq_ref, posk_refs, col0s, valids,
+    (q_ref, posq_ref, get_kv, get_pos, col0s, valids,
      (ncc_ref, wpe_ref, bpe_ref, bk_ref, bv_ref, out_ref)) = _unpack_refs(
-        refs, nb)
-    nbands = len(kv_refs)
+        refs, nb, wb)
+    nbands = max(nb, 1)
     gb = q_ref.shape[0]  # images per kernel instance
     tq = q_ref.shape[1]
     c = q_ref.shape[2]
@@ -314,9 +339,10 @@ def _fwd_kernel(*refs, h: int, cs: int, n_valid: int, rel_width: int,
                 + bpe_ref[hi])
 
     def band_geometry(bi, j, want_feat=False):
+        pxk, pyk = get_pos(j, bi)
         g = _geometry(
-            posq_ref, posk_refs[j], ncc_ref, bi, tq,
-            kv_refs[j].shape[1], col0s[j], cs, n_valid,
+            posq_ref, pxk, pyk, ncc_ref, bi, tq,
+            wb, col0s[j], cs, n_valid,
             rel_width, clamp_hi, nnc, want_feat=want_feat,
         )
         if valids[j] is not None:
@@ -346,7 +372,7 @@ def _fwd_kernel(*refs, h: int, cs: int, n_valid: int, rel_width: int,
             q = q_ref[bi, :, hi * c_:(hi + 1) * c_]  # (tq, c_)
             logits = []
             for j in range(nbands):
-                k = kv_refs[j][bi, :, 2 * hi * c_:(2 * hi + 1) * c_]
+                k = get_kv(j, bi, 2 * hi * c_, (2 * hi + 1) * c_)
                 lg = jax.lax.dot_general(
                     q, k, (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32, precision=prec,
@@ -382,7 +408,7 @@ def _fwd_kernel(*refs, h: int, cs: int, n_valid: int, rel_width: int,
 
             out = pb * bv_ref[hi:hi + 1, :].astype(jnp.float32)
             for j, p in enumerate(ps):
-                v = kv_refs[j][bi, :, (2 * hi + 1) * c_:(2 * hi + 2) * c_]
+                v = get_kv(j, bi, (2 * hi + 1) * c_, (2 * hi + 2) * c_)
                 out = out + jax.lax.dot_general(
                     (p / denom).astype(v.dtype), v, (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32, precision=prec,
@@ -435,12 +461,15 @@ def _attention_fwd_impl(q, kv, ncc, pos, pe_kernel, pe_bias, blank_k,
 
     if window is not None:
         nb, Wb, np_, offs_np = window  # K/V padded so windows stay in bounds
-        # per-instance K/V re-stream; batching images per instance
-        # amortizes DMA latency / invocation overhead (measured: area
-        # reductions alone moved stage-1 time ~1%)
-        gb = _gb_for(b, 2 * nb * Wb * c * 4, 8 * 1024 * 1024, h=h)
+        # K/V and K-positions stay RESIDENT in VMEM per image group (their
+        # index maps ignore the tile dim, so Pallas fetches them once per
+        # group, not per tile — windows re-streamed per tile cost ~8x the
+        # HBM traffic); the kernel slices each tile's bands in-VMEM.
+        gb = _gb_for(b, np_ * (2 * c * kv.dtype.itemsize + 2 * 4),
+                     16 * 1024 * 1024, h=h)
     else:
         nb = 0
+        Wb = np_
         # dense K/V per image; batching amortizes per-instance overhead
         # (the small-n stages are otherwise launch-bound)
         gb = _gb_for(b, np_ * 2 * c * 2, 8 * 1024 * 1024, h=h)
@@ -450,7 +479,7 @@ def _attention_fwd_impl(q, kv, ncc, pos, pe_kernel, pe_bias, blank_k,
 
     kernel = functools.partial(
         _fwd_kernel, h=h, cs=cs, n_valid=n, rel_width=rel_width,
-        clamp_hi=clamp_hi, hiprec=hiprec, nb=nb,
+        clamp_hi=clamp_hi, hiprec=hiprec, nb=nb, wb=Wb,
         batch_inv=static_ncc is not None,
     )
     out_shape = jax.ShapeDtypeStruct((b, n, c), q.dtype)
@@ -470,30 +499,10 @@ def _attention_fwd_impl(q, kv, ncc, pos, pe_kernel, pe_bias, blank_k,
     )
 
     if window is not None:
-        # K/V (and K-positions) ride element-indexed windows: each query
-        # tile streams only its cluster band(s) (pl.Element allows
-        # unaligned dynamic starts; Blocked indexing would force aligned
-        # W-blocks, which doubles W until it covers the whole token axis).
-        # Multi-band (nb > 1): the same kv/pos arrays are passed once per
-        # band with per-band window starts; −1 band slots clamp to block 0
-        # and are masked inside the kernel.
-        el = pl.Element
-        kv_specs = [
-            pl.BlockSpec(
-                (el(gb), el(Wb), el(2 * c)),
-                (lambda j: lambda bi, ti, offs:
-                 (bi * gb, jnp.maximum(offs[ti, j], 0) * 128, 0))(j),
-                memory_space=pltpu.VMEM)
-            for j in range(nb)
-        ]
-        posk_specs = [
-            pl.BlockSpec(
-                (el(gb), el(2), el(Wb)),
-                (lambda j: lambda bi, ti, offs:
-                 (bi * gb, 0, jnp.maximum(offs[ti, j], 0) * 128))(j),
-                memory_space=pltpu.VMEM)
-            for j in range(nb)
-        ]
+        # Resident K/V: full blocks with tile-invariant index maps (one
+        # fetch per image group); the per-tile, 128-quantized band starts
+        # arrive via scalar prefetch and the kernel slices bands in-VMEM
+        # with pl.ds. −1 band slots clamp to block 0 and are masked.
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(b // gb, n // tq),
@@ -501,11 +510,15 @@ def _attention_fwd_impl(q, kv, ncc, pos, pe_kernel, pe_bias, blank_k,
                 pl.BlockSpec((gb, tq, c),
                              lambda bi, ti, offs: (bi, ti, 0),
                              memory_space=pltpu.VMEM),
-                *kv_specs,
+                pl.BlockSpec((gb, np_, 2 * c),
+                             lambda bi, ti, offs: (bi, 0, 0),
+                             memory_space=pltpu.VMEM),
                 pl.BlockSpec((gb, tq, 2),
                              lambda bi, ti, offs: (bi, ti, 0),
                              memory_space=pltpu.VMEM),
-                *posk_specs,
+                pl.BlockSpec((gb, 2, np_),
+                             lambda bi, ti, offs: (bi, 0, 0),
+                             memory_space=pltpu.VMEM),
                 pl.BlockSpec((gb, tq, nnc),
                              lambda bi, ti, offs: (bi, ti, 0),
                              memory_space=pltpu.VMEM),
@@ -522,8 +535,7 @@ def _attention_fwd_impl(q, kv, ncc, pos, pe_kernel, pe_bias, blank_k,
             interpret=_INTERPRET,
             compiler_params=compiler_params,
             out_shape=out_shape,
-        )(jnp.asarray(offs_np), q, *([kv_p] * nb), pos_q, *([pos_t] * nb),
-          ncc, *tail_operands)
+        )(jnp.asarray(offs_np), q, kv_p, pos_q, pos_t, ncc, *tail_operands)
 
     return pl.pallas_call(
         kernel,
@@ -552,7 +564,7 @@ def _attention_fwd_impl(q, kv, ncc, pos, pe_kernel, pe_bias, blank_k,
 
 
 def _bwd_kernel(*refs, h: int, cs: int, n_valid: int, rel_width: int,
-                clamp_hi: Optional[int], hiprec: bool, nb: int,
+                clamp_hi: Optional[int], hiprec: bool, nb: int, wb: int,
                 batch_inv: bool):
     """Fused backward: recomputes the forward softmax per query tile (flash
     style — nothing but the inputs is saved), then produces dq per tile and
@@ -560,10 +572,10 @@ def _bwd_kernel(*refs, h: int, cs: int, n_valid: int, rel_width: int,
     blocks across the sequential query-tile grid (the reference's
     ``fastAtomicAdd`` scatters become in-VMEM accumulation — deterministic
     by construction)."""
-    (q_ref, kv_refs, posq_ref, posk_refs, col0s, valids,
+    (q_ref, posq_ref, get_kv, get_pos, col0s, valids,
      (ncc_ref, wpe_ref, bpe_ref, bk_ref, bv_ref, gout_ref,
-      dq_ref, dkv_ref, dpe_ref, dblank_ref)) = _unpack_refs(refs, nb)
-    nbands = len(kv_refs)
+      dq_ref, dkv_ref, dpe_ref, dblank_ref)) = _unpack_refs(refs, nb, wb)
+    nbands = max(nb, 1)
     gb = q_ref.shape[0]
     tq = q_ref.shape[1]
     c = q_ref.shape[2]
@@ -591,9 +603,10 @@ def _bwd_kernel(*refs, h: int, cs: int, n_valid: int, rel_width: int,
         )
 
     def band_geometry(bi, j):
+        pxk, pyk = get_pos(j, bi)
         g = _geometry(
-            posq_ref, posk_refs[j], ncc_ref, bi, tq,
-            kv_refs[j].shape[1], col0s[j], cs, n_valid,
+            posq_ref, pxk, pyk, ncc_ref, bi, tq,
+            wb, col0s[j], cs, n_valid,
             rel_width, clamp_hi, nnc, want_feat=True,
         )
         if valids[j] is not None:
@@ -618,12 +631,12 @@ def _bwd_kernel(*refs, h: int, cs: int, n_valid: int, rel_width: int,
             q = q_ref[bi, :, hi * c_:(hi + 1) * c_]
             go = gout_ref[bi, :, hi * c_:(hi + 1) * c_]  # (tq, c_)
             go32 = go.astype(jnp.float32)
-            md = kv_refs[0].dtype
+            md = get_kv(0, bi, 0, c_).dtype
 
             # --- recompute the softmax across bands (flash style) ---
             logits = []
             for j in range(nbands):
-                k = kv_refs[j][bi, :, 2 * hi * c_:(2 * hi + 1) * c_]
+                k = get_kv(j, bi, 2 * hi * c_, (2 * hi + 1) * c_)
                 lg = jax.lax.dot_general(
                     q, k, (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32, precision=prec,
@@ -665,7 +678,7 @@ def _bwd_kernel(*refs, h: int, cs: int, n_valid: int, rel_width: int,
             dps = []
             s = dpb * pb
             for j, p in enumerate(ps):
-                v = kv_refs[j][bi, :, (2 * hi + 1) * c_:(2 * hi + 2) * c_]
+                v = get_kv(j, bi, (2 * hi + 1) * c_, (2 * hi + 2) * c_)
                 dp = jax.lax.dot_general(
                     go, v, (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32, precision=prec,
@@ -678,7 +691,7 @@ def _bwd_kernel(*refs, h: int, cs: int, n_valid: int, rel_width: int,
             for j, (p, dp) in enumerate(zip(ps, dps)):
                 dl = p * (dp - s)  # (tq, Wb) fp32; 0 at non-member slots
                 dlm = dl.astype(md)
-                k = kv_refs[j][bi, :, 2 * hi * c_:(2 * hi + 1) * c_]
+                k = get_kv(j, bi, 2 * hi * c_, (2 * hi + 1) * c_)
                 dq = dq + jax.lax.dot_general(
                     dlm, k, (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32, precision=prec,
@@ -694,13 +707,12 @@ def _bwd_kernel(*refs, h: int, cs: int, n_valid: int, rel_width: int,
                 )  # (Wb, c_)
                 k0 = 2 * hi * c_
                 v0 = (2 * hi + 1) * c_
-                Wb = kv_refs[j].shape[1]
                 if nb:
-                    dkv_ref[bi, pl.ds(col0s[j], Wb), k0:k0 + c_] = (
-                        dkv_ref[bi, pl.ds(col0s[j], Wb), k0:k0 + c_] + dkw
+                    dkv_ref[bi, pl.ds(col0s[j], wb), k0:k0 + c_] = (
+                        dkv_ref[bi, pl.ds(col0s[j], wb), k0:k0 + c_] + dkw
                     )
-                    dkv_ref[bi, pl.ds(col0s[j], Wb), v0:v0 + c_] = (
-                        dkv_ref[bi, pl.ds(col0s[j], Wb), v0:v0 + c_] + dvw
+                    dkv_ref[bi, pl.ds(col0s[j], wb), v0:v0 + c_] = (
+                        dkv_ref[bi, pl.ds(col0s[j], wb), v0:v0 + c_] + dvw
                     )
                 else:
                     dkv_ref[bi, :, k0:k0 + c_] = (
@@ -757,11 +769,14 @@ def _attention_bwd_impl(q, kv, ncc, pos, pe_kernel, pe_bias, blank_k,
 
     if window is not None:
         nb, Wb, np_, offs_np = window
-        # dkv accumulates fp32 over np_ rows per image in VMEM
-        gb = _gb_for(b, (2 * nb * Wb * c * 4) + (2 * np_ * c * 4),
-                     24 * 1024 * 1024, cap=8, h=h)
+        # resident K/V + fp32 dkv accumulator per image in VMEM
+        gb = _gb_for(
+            b,
+            np_ * (2 * c * kv.dtype.itemsize + 2 * c * 4 + 2 * 4),
+            24 * 1024 * 1024, cap=8, h=h)
     else:
         nb = 0
+        Wb = np_
         # cap 8: the unrolled gb*h backward body keeps more planes live
         # than the forward (measured: gb=16 exceeds VMEM at stage-3 shapes)
         gb = _gb_for(b, (np_ * 2 * c * 2) + (2 * np_ * c * 4),
@@ -773,7 +788,7 @@ def _attention_bwd_impl(q, kv, ncc, pos, pe_kernel, pe_bias, blank_k,
     nt = n // tq
     kernel = functools.partial(
         _bwd_kernel, h=h, cs=cs, n_valid=n, rel_width=rel_width,
-        clamp_hi=clamp_hi, hiprec=hiprec, nb=nb,
+        clamp_hi=clamp_hi, hiprec=hiprec, nb=nb, wb=Wb,
         batch_inv=static_ncc is not None,
     )
     out_shape = [
@@ -818,23 +833,8 @@ def _attention_bwd_impl(q, kv, ncc, pos, pe_kernel, pe_bias, blank_k,
         ]
 
     if window is not None:
-        el = pl.Element
-        kv_specs = [
-            pl.BlockSpec(
-                (el(gb), el(Wb), el(2 * c)),
-                (lambda j: lambda bi, ti, offs:
-                 (bi * gb, jnp.maximum(offs[ti, j], 0) * 128, 0))(j),
-                memory_space=pltpu.VMEM)
-            for j in range(nb)
-        ]
-        posk_specs = [
-            pl.BlockSpec(
-                (el(gb), el(2), el(Wb)),
-                (lambda j: lambda bi, ti, offs:
-                 (bi * gb, 0, jnp.maximum(offs[ti, j], 0) * 128))(j),
-                memory_space=pltpu.VMEM)
-            for j in range(nb)
-        ]
+        # Resident K/V + K-positions (tile-invariant index maps: one fetch
+        # per image group); band starts via scalar prefetch, sliced in-VMEM.
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(b // gb, nt),
@@ -842,11 +842,15 @@ def _attention_bwd_impl(q, kv, ncc, pos, pe_kernel, pe_bias, blank_k,
                 pl.BlockSpec((gb, tq, c),
                              lambda bi, ti, offs: (bi, ti, 0),
                              memory_space=pltpu.VMEM),
-                *kv_specs,
+                pl.BlockSpec((gb, np_, 2 * c),
+                             lambda bi, ti, offs: (bi, 0, 0),
+                             memory_space=pltpu.VMEM),
                 pl.BlockSpec((gb, tq, 2),
                              lambda bi, ti, offs: (bi, ti, 0),
                              memory_space=pltpu.VMEM),
-                *posk_specs,
+                pl.BlockSpec((gb, 2, np_),
+                             lambda bi, ti, offs: (bi, 0, 0),
+                             memory_space=pltpu.VMEM),
                 pl.BlockSpec((gb, tq, nnc),
                              lambda bi, ti, offs: (bi, ti, 0),
                              memory_space=pltpu.VMEM),
@@ -866,8 +870,8 @@ def _attention_bwd_impl(q, kv, ncc, pos, pe_kernel, pe_bias, blank_k,
             interpret=_INTERPRET,
             compiler_params=compiler_params,
             out_shape=out_shape,
-        )(jnp.asarray(offs_np), q, *([kv_p] * nb), pos_q,
-          *([pos_p.transpose(0, 2, 1)] * nb), ncc, *tail_operands)
+        )(jnp.asarray(offs_np), q, kv_p, pos_q,
+          pos_p.transpose(0, 2, 1), ncc, *tail_operands)
     else:
         outs = pl.pallas_call(
             kernel,
