@@ -106,7 +106,9 @@ def _choose_tiling(n: int, np_: int, cs: int, static_ncc) -> Tuple[int, Optional
     instance, so bigger tiles amortize it best).
     """
     if static_ncc is not None and not _INTERPRET:
-        kappa = int(os.environ.get("MLAFF_KAPPA", "16"))
+        # kappa fitted to the measured stage-1 sweep (tq 112/224/448 ->
+        # 7.42/7.12/8.04 ms): per-instance fixed cost is worth ~64 rows
+        kappa = int(os.environ.get("MLAFF_KAPPA", "64"))
         forced = os.environ.get("MLAFF_TQ")  # experiment override
         # default OFF: measured slower than the contiguous window at mini
         # stage-1 (2013 vs ~2270 img/s model-level) — the 5 per-band
