@@ -52,6 +52,26 @@ def compute_color_dist(im: jax.Array) -> jax.Array:
     return edge
 
 
+def color_change_upsampling_mask(
+    images: jax.Array, pos: jax.Array, patch_size: int, min_patch_size: int
+) -> jax.Array:
+    """Per-token color-gradient oracle: sum of :func:`compute_color_dist`
+    over each token's ``patch_size``² pixel patch anchored at
+    ``pos * min_patch_size`` (reference
+    ``maskfiner_up_down.py:161-186``, an unused mask alternative kept for
+    API parity). The reference loops over the batch and gathers pixel by
+    pixel; here one batched gather. images NHWC; pos channel order (x, y)
+    in min-patch units."""
+    cd = compute_color_dist(images)  # (b, H, W)
+    p0 = (pos.astype(jnp.float32) * min_patch_size).astype(jnp.int32)
+    ii = jnp.arange(patch_size)
+    dy, dx = jnp.meshgrid(ii, ii, indexing="ij")
+    ys = p0[..., 1][..., None, None] + dy  # (b, n, ps, ps)
+    xs = p0[..., 0][..., None, None] + dx
+    patch = jax.vmap(lambda c, y, x: c[y, x])(cd, ys, xs)
+    return patch.sum(axis=(-1, -2))
+
+
 class UpDownBackbone(nn.Module):
     backbones: Sequence[nn.Module]
     backbone_dims: Sequence[int]

@@ -144,3 +144,69 @@ def test_curriculum_rebuild_changes_token_counts():
         v1, x, training=False, rngs={"upsample": jax.random.PRNGKey(2)}
     )
     assert out.shape == (1, 10)
+
+
+def test_upsampling_mask_oracles_match_reference_formulas():
+    """The three (unused-by-default) upsampling-mask oracles pin the
+    reference formulas: Manhattan-cdist skip realignment
+    (maskfiner_up_down.py:150-154), feature-norm mask (:156-158) and the
+    color-change oracle (:161-211)."""
+    import torch
+
+    from ml_autofocusformermod_tpu.models.maskfiner_ud import (
+        color_change_upsampling_mask,
+        compute_color_dist,
+        find_pos_org_order,
+        max_norm_upsampling_mask,
+    )
+
+    rng = np.random.default_rng(0)
+    b, n, c = 2, 17, 8
+    pos_shuffled = rng.integers(0, 31, (b, n, 2)).astype(np.float32)
+    perm = np.stack([rng.permutation(n) for _ in range(b)])
+    pos_org = np.take_along_axis(pos_shuffled, perm[..., None], axis=1)
+
+    idx = np.asarray(find_pos_org_order(
+        jnp.asarray(pos_org), jnp.asarray(pos_shuffled)
+    ))
+    t_d = torch.cdist(torch.tensor(pos_org), torch.tensor(pos_shuffled), p=1)
+    t_idx = torch.argmin(t_d, dim=2).numpy()
+    np.testing.assert_array_equal(idx, t_idx)
+    # realignment recovers the permutation when positions are unique
+    for bi in range(b):
+        if len(np.unique(pos_shuffled[bi], axis=0)) == n:
+            np.testing.assert_array_equal(idx[bi], perm[bi])
+
+    feats = rng.normal(size=(b, n, c)).astype(np.float32)
+    np.testing.assert_allclose(
+        np.asarray(max_norm_upsampling_mask(jnp.asarray(feats))),
+        torch.tensor(feats).norm(dim=2).numpy(), rtol=1e-6)
+
+    # color-change oracle vs a direct torch re-derivation (NCHW reference)
+    H = W = 16
+    ps, min_ps = 4, 2
+    im = rng.normal(size=(b, H, W, 3)).astype(np.float32)
+    t_im = torch.tensor(im).permute(0, 3, 1, 2)
+    t_cd = torch.zeros(b, H, W)
+    t_cd[:, 1:, :] += (t_im[:, :, 1:, :] - t_im[:, :, :-1, :]).abs().sum(1)
+    t_cd[:, :-1, :] += (t_im[:, :, :-1, :] - t_im[:, :, 1:, :]).abs().sum(1)
+    t_cd[:, :, 1:] += (t_im[:, :, :, 1:] - t_im[:, :, :, :-1]).abs().sum(1)
+    t_cd[:, :, :-1] += (t_im[:, :, :, :-1] - t_im[:, :, :, 1:]).abs().sum(1)
+    np.testing.assert_allclose(
+        np.asarray(compute_color_dist(jnp.asarray(im))), t_cd.numpy(),
+        rtol=1e-5, atol=1e-5)
+
+    npos = 5
+    # token anchors in min-patch units; patches stay inside the canvas
+    pos = rng.integers(0, (H - ps) // min_ps + 1, (b, npos, 2)).astype(
+        np.float32)
+    ours = np.asarray(color_change_upsampling_mask(
+        jnp.asarray(im), jnp.asarray(pos), ps, min_ps))
+    # reference inner loop (maskfiner_up_down.py:165-185), batch by batch
+    expect = np.zeros((b, npos), np.float32)
+    for bi in range(b):
+        p0 = (pos[bi] * min_ps).astype(np.int64)
+        for ti in range(npos):
+            x0, y0 = p0[ti]
+            expect[bi, ti] = t_cd[bi, y0:y0 + ps, x0:x0 + ps].sum().item()
+    np.testing.assert_allclose(ours, expect, rtol=1e-4, atol=1e-4)
