@@ -191,6 +191,13 @@ def main(config, logger, host, num_hosts):
             start_epoch = epoch + 1
             logger.info(f"=> resumed from {resume} (epoch {epoch})")
 
+    # lay out the tensor-parallel layout over the mesh `model` axis
+    # (pure replication when TPU.MESH_MODEL == 1); optimizer moments and
+    # EMA shard along with the params (parallel/tp.py)
+    from ml_autofocusformermod_tpu.parallel import tp as ptp
+
+    state = ptp.shard_tree(mesh, state)
+
     variables = {"params": state.params, "batch_stats": state.batch_stats}
 
     if config.THROUGHPUT_MODE:

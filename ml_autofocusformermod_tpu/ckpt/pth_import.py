@@ -35,9 +35,25 @@ def load_pth_state_dict(path: str) -> Dict[str, np.ndarray]:
     """Load a torch checkpoint file to numpy arrays (CPU, no grad state).
 
     Accepts both a bare ``state_dict`` and the reference trainer's wrapper
-    ``{'model': state_dict, ...}`` (``utils.py:58-69``).
+    ``{'model': state_dict, ...}`` (``utils.py:58-69``).  ``https://`` URLs
+    are downloaded to a local cache first, mirroring the reference's
+    ``torch.hub.load_state_dict_from_url`` path (``utils.py:21-23``) —
+    that is how the published Apple checkpoints are referenced in configs.
     """
     import torch
+
+    if path.startswith(("http://", "https://")):
+        import os
+        import urllib.request
+
+        cache = os.path.join(
+            os.path.expanduser("~"), ".cache", "mlaff_checkpoints"
+        )
+        os.makedirs(cache, exist_ok=True)
+        local = os.path.join(cache, os.path.basename(path.split("?")[0]))
+        if not os.path.exists(local):
+            urllib.request.urlretrieve(path, local)
+        path = local
 
     ckpt = torch.load(path, map_location="cpu", weights_only=False)
     if isinstance(ckpt, dict) and "model" in ckpt:

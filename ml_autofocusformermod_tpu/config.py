@@ -240,7 +240,7 @@ def default_config() -> CfgNode:
     c.TPU.COMPUTE_DTYPE = "bfloat16"  # 'float32' for parity eval
     c.TPU.USE_PALLAS = True  # fused Pallas attention kernels on TPU
     c.TPU.MESH_DATA = -1  # data-parallel mesh size; -1 = all devices
-    c.TPU.MESH_MODEL = 1  # model-parallel axis (reserved)
+    c.TPU.MESH_MODEL = 1  # tensor-parallel mesh axis (parallel/tp.py)
 
     c.AMP_ENABLE = True
     c.OUTPUT = ""

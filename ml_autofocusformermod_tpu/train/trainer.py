@@ -25,7 +25,6 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from ..parallel.mesh import batch_sharding, replicated, shard_batch
 from .losses import cross_entropy, mixup_cutmix, soft_target_cross_entropy
 from .optim import build_optimizer
 from .schedulers import build_scheduler
@@ -194,21 +193,6 @@ def pad_batch_to_multiple(batch: dict, multiple: int) -> dict:
             reps[n:] = False
         out[k] = reps
     return out
-
-
-def jit_for_mesh(fn, mesh, state_like=None, donate_state: bool = True):
-    """jit a (state, batch, ...) step with replicated state and data-sharded
-    batch over the mesh; gradients all-reduce over ICI automatically."""
-    rep = replicated(mesh)
-    data = batch_sharding(mesh)
-
-    def to_shardings(tree, sharding):
-        return jax.tree_util.tree_map(lambda _: sharding, tree)
-
-    return jax.jit(
-        fn,
-        donate_argnums=(0,) if donate_state else (),
-    )
 
 
 def throughput(
