@@ -2,7 +2,8 @@
 shapes (b=128, n=3136, cs=8, nnc=6, h=2, c_=32, on-grid host-constant
 geometry -> windowed + batch-invariant path).
 
-Usage: python scripts/bench_stage1.py [batch]
+Usage: python scripts/bench_stage1.py [batch] [heads] [head_dim]
+(heads/head_dim default 2/32; AFF-Small stage-1 is heads=3 head_dim=32.)
 Env experiments: MLAFF_TQ=<t> forces the query tile, MLAFF_KAPPA=<k> tunes
 the tiling cost model, MLAFF_GB_CAP=<g> caps images per kernel instance.
 """
@@ -28,7 +29,9 @@ def main() -> None:
     from ml_autofocusformermod_tpu.ops import clusten_pallas as cp
     from ml_autofocusformermod_tpu.ops import sfc
 
-    n, cs, nnc, h, c_ = 3136, 8, 6, 2, 32
+    n, cs, nnc = 3136, 8, 6
+    h = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+    c_ = int(sys.argv[3]) if len(sys.argv) > 3 else 32
     R = 55
     pos_np, _, _, _, _ = [np.asarray(x) for x in sfc.grid_cluster(56, 56, cs)]
     ncc_np = np.asarray(sfc.grid_nearest_clusters(56, 56, cs, nnc))
@@ -65,7 +68,7 @@ def main() -> None:
     t2 = time.time()
     ms = (t2 - t1) / (reps * CHUNK) * 1000.0
     print(json.dumps({
-        "metric": "stage1_fused_attention_ms_b%d" % b,
+        "metric": "stage1_fused_attention_ms_b%d_h%d_c%d" % (b, h, c_),
         "value": round(ms, 3), "unit": "ms",
         "tq_env": os.environ.get("MLAFF_TQ"),
         "kappa_env": os.environ.get("MLAFF_KAPPA"),
