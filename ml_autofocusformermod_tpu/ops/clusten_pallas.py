@@ -467,8 +467,12 @@ def _attention_fwd_impl(q, kv, ncc, pos, pe_kernel, pe_bias, blank_k,
         # index maps ignore the tile dim, so Pallas fetches them once per
         # group, not per tile — windows re-streamed per tile cost ~8x the
         # HBM traffic); the kernel slices each tile's bands in-VMEM.
+        # The budget bounds gb * resident bytes: wider-channel models
+        # (Small c=96) halve gb under the 16MB default, losing per-group
+        # amortization — MLAFF_WIN_BUDGET_MB raises it for experiments.
+        budget_mb = int(os.environ.get("MLAFF_WIN_BUDGET_MB", "16"))
         gb = _gb_for(b, np_ * (2 * c * kv.dtype.itemsize + 2 * 4),
-                     16 * 1024 * 1024, h=h)
+                     budget_mb * 1024 * 1024, h=h)
     else:
         nb = 0
         Wb = np_
