@@ -206,8 +206,7 @@ def main(config, logger, host, num_hosts):
         logger.info(f"throughput averaged with 30 times: {fps:.1f} img/s")
         return
 
-    eval_step = T.make_eval_step(config, model)
-    eval_step = jax.jit(eval_step)
+    eval_step = jax.jit(T.make_eval_step(config, model))
 
     n_mesh = int(np.prod(mesh.devices.shape))
 
@@ -220,6 +219,8 @@ def main(config, logger, host, num_hosts):
                 variables["params"], variables["batch_stats"], sharded
             )
             n = int(out["count"])
+            if n == 0:  # batch was pure cross-host padding
+                continue
             meters["loss"].update(float(out["loss_sum"]) / n, n)
             meters["top1"].update(float(out["top1"]) / n * 100, n)
             meters["top5"].update(float(out["top5"]) / n * 100, n)
@@ -274,6 +275,9 @@ def main(config, logger, host, num_hosts):
                 train_step = jax.jit(
                     T.make_train_step(config, model, tx, schedule)
                 )
+                # the reference mutates ONE shared model, so validation also
+                # sees the current epoch's ratios — rebuild eval to match
+                eval_step = jax.jit(T.make_eval_step(config, model))
                 prev_ratios = ratios
         train_loader.set_epoch(epoch)
         meters = {k: AverageMeter() for k in ("loss", "grad_norm")}
@@ -306,7 +310,9 @@ def main(config, logger, host, num_hosts):
             f"EPOCH {epoch} training takes "
             f"{datetime.timedelta(seconds=int(time.time() - t0))}"
         )
-        if host == 0 and (
+        # collective: orbax save must run on EVERY process (each writes its
+        # addressable shards); gating on host 0 would deadlock multi-host
+        if (
             epoch % config.SAVE_FREQ == 0 or epoch == config.TRAIN.EPOCHS - 1
         ):
             orbax_io.save_checkpoint(

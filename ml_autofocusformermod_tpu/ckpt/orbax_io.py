@@ -47,7 +47,9 @@ def save_checkpoint(
     }
     ckptr.save(path, payload, force=True)
     ckptr.wait_until_finished()
-    # prune old non-multiple checkpoints
+    if jax.process_index() != 0:
+        return path
+    # prune old non-multiple checkpoints (rank 0 only; shared filesystem)
     for name in os.listdir(output_dir):
         m = _CKPT_RE.match(name)
         if m:

@@ -33,6 +33,7 @@ class ImageFolderDataset:
         self.root = root
         self.transform = transform
         self.seed = seed
+        self.epoch = 0  # bumped by Loader.set_epoch: fresh augs every epoch
         classes = sorted(
             d
             for d in os.listdir(root)
@@ -54,7 +55,11 @@ class ImageFolderDataset:
 
     def __getitem__(self, idx: int):
         path, label = self.samples[idx]
-        rng_key = hash((self.seed, idx, os.getpid()))
+        # deterministic per-(seed, epoch, sample) stream: reproducible under
+        # SEED regardless of worker-process assignment, and a fresh
+        # augmentation draw every epoch (torch reseeds workers per epoch;
+        # an int-tuple hash is unsalted so this is stable across runs)
+        rng_key = hash((self.seed, self.epoch, idx))
         arr = self._native_item(path, random.Random(rng_key))
         if arr is None:
             from PIL import Image
@@ -174,11 +179,14 @@ class Loader:
 
     def set_epoch(self, epoch: int) -> None:
         self.epoch = epoch
+        if hasattr(self.dataset, "epoch"):
+            self.dataset.epoch = epoch  # re-keys the augmentation stream
 
     def __len__(self) -> int:
         n = len(self.dataset)
         if self.stride_shard:
-            local = len(range(self.host, n, self.num_hosts))
+            # every host reports the padded (equal) length
+            local = -(-n // self.num_hosts)
         else:
             local = n // self.num_hosts
         if self.drop_last:
@@ -188,8 +196,15 @@ class Loader:
     def _indices(self) -> np.ndarray:
         n = len(self.dataset)
         if self.stride_shard:
-            # val sharding: indices[host::num_hosts] (data/samplers.py:23-26)
-            return np.arange(n)[self.host :: self.num_hosts]
+            # val sharding: indices[host::num_hosts] (data/samplers.py:23-26),
+            # padded with -1 sentinels so every host yields the SAME number
+            # of equally-shaped batches (multi-host eval steps are
+            # collective: unequal counts would deadlock)
+            idx = np.arange(n)[self.host :: self.num_hosts]
+            maxlen = -(-n // self.num_hosts)
+            if len(idx) < maxlen:
+                idx = np.concatenate([idx, np.full(maxlen - len(idx), -1)])
+            return idx
         return _host_shard_indices(
             n, self.host, self.num_hosts, self.shuffle, self.seed, self.epoch
         )
@@ -199,22 +214,27 @@ class Loader:
         if self.num_workers > 0:
             yield from self._iter_workers(indices)
             return
-        batch_imgs, batch_labels = [], []
+        batch_imgs, batch_labels, batch_valid = [], [], []
         for i in indices:
-            img, label = self.dataset[int(i)]
+            img, label = self.dataset[0 if i < 0 else int(i)]
             batch_imgs.append(img)
             batch_labels.append(label)
+            batch_valid.append(i >= 0)
             if len(batch_imgs) == self.batch_size:
-                yield {
-                    "image": np.stack(batch_imgs),
-                    "label": np.asarray(batch_labels, np.int32),
-                }
-                batch_imgs, batch_labels = [], []
+                yield self._pack(batch_imgs, batch_labels, batch_valid)
+                batch_imgs, batch_labels, batch_valid = [], [], []
         if batch_imgs and not self.drop_last:
-            yield {
-                "image": np.stack(batch_imgs),
-                "label": np.asarray(batch_labels, np.int32),
-            }
+            yield self._pack(batch_imgs, batch_labels, batch_valid)
+
+    @staticmethod
+    def _pack(imgs, labels, valid) -> dict:
+        out = {
+            "image": np.stack(imgs),
+            "label": np.asarray(labels, np.int32),
+        }
+        if not all(valid):
+            out["valid"] = np.asarray(valid, bool)
+        return out
 
     def _iter_workers(self, indices: np.ndarray) -> Iterator[dict]:
         """Parallel decode via torch's DataLoader machinery (CPU only)."""
@@ -228,8 +248,13 @@ class Loader:
                 return len(indices)
 
             def __getitem__(self, i):
-                img, label = outer.dataset[int(indices[i])]
-                return torch.from_numpy(np.ascontiguousarray(img)), int(label)
+                j = int(indices[i])
+                img, label = outer.dataset[0 if j < 0 else j]
+                return (
+                    torch.from_numpy(np.ascontiguousarray(img)),
+                    int(label),
+                    bool(j >= 0),
+                )
 
         dl = DataLoader(
             _Wrap(),
@@ -239,11 +264,14 @@ class Loader:
             shuffle=False,
             persistent_workers=False,
         )
-        for imgs, labels in dl:
-            yield {
+        for imgs, labels, valid in dl:
+            out = {
                 "image": imgs.numpy(),
                 "label": labels.numpy().astype(np.int32),
             }
+            if not bool(valid.all()):
+                out["valid"] = valid.numpy().astype(bool)
+            yield out
 
 
 def build_loaders(config, host: int = 0, num_hosts: int = 1):

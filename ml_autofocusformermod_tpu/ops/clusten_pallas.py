@@ -82,7 +82,7 @@ def _pick_tile(n: int, np_: int, planes: int = 8) -> int:
             continue  # sublane constraint: divisible by 8 or the full dim
         if t * np_ * 4 * planes <= budget:
             return t
-        best = best or t
+        best = t  # nothing fits: remember the SMALLEST candidate seen
     return best if best is not None else n
 
 
@@ -197,7 +197,11 @@ def _static_bands(static_ncc, n, tq, cs, np_):
         cls = np.unique(ncc_t[ti])
         lo = cls * cs // 128
         hi = ((cls + 1) * cs - 1) // 128
-        blocks = np.unique(np.concatenate([lo, hi]))
+        # every block each cluster touches, INCLUDING interior blocks when
+        # cs > 128 makes a cluster span 3+ blocks
+        blocks = np.unique(
+            np.concatenate([np.arange(a, b + 1) for a, b in zip(lo, hi)])
+        )
         per_tile.append(blocks[blocks * 128 < np128])
     nb = max(len(b) for b in per_tile)
     wfrac = float(os.environ.get("MLAFF_WFRAC", "0.5"))

@@ -59,9 +59,22 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, batch):
-    """Device-put a pytree of host arrays with batch-axis sharding."""
+    """Assemble per-host batches into one global batch-sharded array tree.
+
+    Each process passes its *local* batch (the shard its own loader
+    produced); the global batch is their concatenation along axis 0, so a
+    2-host run with per-host batch 128 yields a global batch of 256.
+    ``jax.device_put`` with a cross-process sharding would instead treat
+    every process's argument as the same global value (global batch 128,
+    half of each host's samples dropped) — hence
+    ``make_array_from_process_local_data`` on multi-process runs.
+    """
     sh = batch_sharding(mesh)
-    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
+    if jax.process_count() == 1:
+        put = lambda x: jax.device_put(x, sh)
+    else:
+        put = lambda x: jax.make_array_from_process_local_data(sh, np.asarray(x))
+    return jax.tree_util.tree_map(put, batch)
 
 
 def local_device_count() -> int:

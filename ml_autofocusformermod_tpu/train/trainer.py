@@ -67,6 +67,7 @@ def make_train_step(
     mixup_on = config.AUG.MIXUP > 0 or config.AUG.CUTMIX > 0
     use_ema = config.TRAIN.USE_EMA
     ema_decay = config.TRAIN.EMA_DECAY
+    accum = max(config.TRAIN.ACCUMULATION_STEPS, 1)
 
     def loss_fn(params, batch_stats, images, target, rng):
         rng_drop, rng_up = jax.random.split(rng)
@@ -114,6 +115,15 @@ def make_train_step(
         )
         new_params = optax.apply_updates(state.params, updates)
 
+        # Skip the optimizer step on non-finite grads (the reference's AMP
+        # GradScaler does the same, main.py:270-276); bf16 overflow on one
+        # bad batch must not poison the params/moments.
+        keep = lambda n, o: jnp.where(grads_finite, n, o)
+        new_params = jax.tree_util.tree_map(keep, new_params, state.params)
+        new_opt_state = jax.tree_util.tree_map(
+            keep, new_opt_state, state.opt_state
+        )
+
         if use_ema:
             new_ema = jax.tree_util.tree_map(
                 lambda e, p: e * ema_decay + p * (1.0 - ema_decay),
@@ -134,7 +144,9 @@ def make_train_step(
             "loss": loss,
             "grad_norm": grad_norm,
             "grads_finite": grads_finite,
-            "lr": schedule(state.step),
+            # the schedule is indexed in optimizer steps (schedulers.py
+            # divides epoch lengths by accum); state.step counts micro-steps
+            "lr": schedule(state.step // accum),
         }
         return new_state, metrics
 

@@ -68,6 +68,63 @@ def test_loader_host_sharding(cfg):
     assert len(lab0b) == 8
 
 
+def test_val_sharding_padded_equal_batches(cfg):
+    """Strided val sharding pads with sentinels so every host yields the
+    same number of batches (multi-host eval steps are collective), and the
+    ``valid`` mask excludes the padding from metrics."""
+    # 2 classes x 5 imgs = 10 val samples over 4 hosts -> 3/3/2/2
+    make_fake_imagenet(cfg.DATA.DATA_PATH, n_classes=2, n_per_class=5)
+    cfg.freeze()
+    ds, _ = imagenet.build_dataset(cfg, is_train=False)
+    loaders = [
+        imagenet.Loader(
+            ds, 2, shuffle=False, host=h, num_hosts=4, seed=1,
+            drop_last=False, stride_shard=True,
+        )
+        for h in range(4)
+    ]
+    all_batches = [list(l) for l in loaders]
+    counts = [len(bs) for bs in all_batches]
+    assert counts == [counts[0]] * 4  # equal batch counts on every host
+    assert all(len(l) == counts[0] for l in loaders)  # __len__ agrees
+    n_valid = sum(
+        int(b.get("valid", np.ones(b["label"].shape[0], bool)).sum())
+        for bs in all_batches
+        for b in bs
+    )
+    assert n_valid == 10  # padding excluded, every real sample once
+    # padded rows are flagged invalid
+    last = all_batches[2][-1]
+    assert "valid" in last and not bool(last["valid"][-1])
+
+
+def test_eval_step_ignores_padding():
+    """make_eval_step with a validity mask matches the unpadded metrics."""
+    from ml_autofocusformermod_tpu.train import trainer
+
+    class _Head:
+        def apply(self, variables, images, training=False, mutable=()):
+            return images  # images already (b, num_classes) logits
+
+    c = load_config(os.path.join(CFG_DIR, "aff_mini.yaml"))
+    step = trainer.make_eval_step(c, _Head())
+    rng = np.random.default_rng(0)
+    logits = rng.normal(size=(6, 7)).astype(np.float32)
+    labels = rng.integers(0, 7, size=(6,)).astype(np.int32)
+    ref = step({}, {}, {"image": jnp.asarray(logits), "label": jnp.asarray(labels)})
+    padded = trainer.pad_batch_to_multiple(
+        {"image": logits, "label": labels}, multiple=4
+    )
+    assert padded["label"].shape[0] == 8
+    out = step(
+        {},
+        {},
+        {k: jnp.asarray(v) for k, v in padded.items()},
+    )
+    for k in ("loss_sum", "top1", "top5", "count"):
+        np.testing.assert_allclose(out[k], ref[k], rtol=1e-6)
+
+
 def test_synthetic_fallback(cfg):
     cfg.DATA.DATA_PATH = "/nonexistent/path"
     cfg.freeze()
