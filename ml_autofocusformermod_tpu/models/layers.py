@@ -25,7 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.cluster_gather import gather_clusters_onehot, gather_rows
-from ..ops.clusten import clusten_av, clusten_qk, clusten_wf
+from ..ops.clusten import clusten_av, clusten_qk, clusten_wf, wf_contract
 from ..ops.knn import knn, nearest_other_distance
 
 Dtype = Any
@@ -506,10 +506,7 @@ class ClusterMerging(nn.Module):
             feat_g = gather_clusters_onehot(
                 feat[:, None], sel_ncc, cluster_size
             )[:, 0]  # b x n' x m x c
-            merged = jnp.einsum(
-                "bnmi,bnmc->bnic", weights, feat_g.astype(weights.dtype),
-                preferred_element_type=weights.dtype,
-            )
+            merged = wf_contract(weights, feat_g.astype(weights.dtype))
         else:
             merged = clusten_wf(weights, feat, sel_member_idx)  # b n' ic c
         merged = merged.reshape(b, keep_num, inner_ch * c)
