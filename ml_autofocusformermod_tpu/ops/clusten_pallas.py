@@ -437,8 +437,11 @@ def _gb_for(b: int, per_image_bytes: int, budget: int, cap: int = 16,
     unrolled body size (gb * h iterations): Mosaic compile time grows
     superlinearly with it, and models with many distinct kernel shapes
     (MaskFiner: 7 backbones) otherwise take an hour to compile.
-    ``MLAFF_GB_CAP`` overrides for experiments."""
-    cap = min(cap, max(1, 64 // max(h, 1)))
+    ``MLAFF_GBH`` overrides the gb*h bound (raising it trades compile
+    time for per-instance batching — matters for high-head-count models);
+    ``MLAFF_GB_CAP`` hard-caps gb for experiments."""
+    gbh = int(os.environ.get("MLAFF_GBH", "64"))
+    cap = min(cap, max(1, gbh // max(h, 1)))
     env = os.environ.get("MLAFF_GB_CAP")
     if env:
         cap = min(cap, int(env))

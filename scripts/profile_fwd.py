@@ -68,10 +68,10 @@ def summarize(logdir: str, top: int = 40) -> None:
 
 def run_and_trace(mode: str, logdir: str) -> None:
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-    from scripts.bench_train import _model
+    from scripts.bench_train import _build
 
     if mode in ("mini_fwd", "small_fwd"):
-        model = _model("mini" if mode == "mini_fwd" else "small")
+        _, model = _build("mini" if mode == "mini_fwd" else "small")
         images = jax.random.normal(jax.random.PRNGKey(1), (BATCH, 224, 224, 3))
         variables = model.init(jax.random.PRNGKey(0), images[:1], training=False)
         fwd = jax.jit(lambda v, x: model.apply(v, x, training=False))
@@ -89,7 +89,7 @@ def run_and_trace(mode: str, logdir: str) -> None:
             os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
             "ml_autofocusformermod_tpu", "configs", "aff_mini.yaml",
         ))
-        model = _model("mini")
+        _, model = _build("mini")
         images = jax.random.normal(jax.random.PRNGKey(1), (BATCH, 224, 224, 3))
         labels = jnp.arange(BATCH) % 1000
         state, tx, schedule = trainer.create_train_state(
