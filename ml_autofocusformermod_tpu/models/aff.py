@@ -74,6 +74,7 @@ class BasicLayer(nn.Module):
         assert self.cluster_size > 0, "cluster_size must be positive"
         R = self.rel_pos_width
         static_ncc = None
+        static_pos = None
 
         if self.nbhd_size >= n:
             global_attn = True
@@ -136,6 +137,7 @@ class BasicLayer(nn.Module):
                 # on-grid kNN is a pure function of (h, w, m): host constant
                 g_ncc = grid_nearest_clusters(h, w, m, nnc)
                 static_ncc = g_ncc  # enables the windowed-K/V kernel path
+                static_pos = g_pos  # + the compact-union layout
                 nearest_cluster = jnp.broadcast_to(
                     jnp.asarray(g_ncc)[None], (b,) + g_ncc.shape
                 )
@@ -190,7 +192,7 @@ class BasicLayer(nn.Module):
                 name=f"blocks_{i_blk}",
             )(feat, member_idx, cluster_mask, global_attn, pe_feat,
               deterministic, nearest_cluster=ncc, cluster_size=csize,
-              pos=pos, static_ncc=static_ncc)
+              pos=pos, static_ncc=static_ncc, static_pos=static_pos)
 
         if self.out_dim is not None:
             if member_idx is None:

@@ -176,6 +176,7 @@ class ClusterAttention(nn.Module):
         cluster_size: int = 0,
         pos: Optional[jax.Array] = None,  # b x n x 2 (fused path)
         static_ncc=None,  # host-constant (n, nnc) np copy of nearest_cluster
+        static_pos=None,  # host-constant (n, 2) np copy of pos (on-grid)
     ) -> jax.Array:
         b, n, c = feat.shape
         h = self.num_heads
@@ -216,7 +217,7 @@ class ClusterAttention(nn.Module):
                 pos_embed.kernel, pos_embed.bias,
                 blank_k.reshape(h, c_).T, blank_v.reshape(h, c_),
                 h, cluster_size, self.rel_pos_width, self.clamp_width,
-                static_ncc=static_ncc,
+                static_ncc=static_ncc, static_pos=static_pos,
             )
         else:
             q = q.reshape(b, n, h, c_).transpose(0, 2, 1, 3)  # b h n c_
@@ -313,6 +314,7 @@ class ClusterTransformerBlock(nn.Module):
         cluster_size: int = 0,
         pos: Optional[jax.Array] = None,
         static_ncc=None,
+        static_pos=None,
     ) -> jax.Array:
         shortcut = feat
         x = _layer_norm_fp32(nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm1"), feat)
@@ -328,7 +330,7 @@ class ClusterTransformerBlock(nn.Module):
             name="attn",
         )(x, member_idx, cluster_mask, global_attn, pe_feat, deterministic,
           nearest_cluster=nearest_cluster, cluster_size=cluster_size, pos=pos,
-          static_ncc=static_ncc)
+          static_ncc=static_ncc, static_pos=static_pos)
 
         drop_path = DropPath(self.drop_path, name="drop_path")
         norm2 = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm2")

@@ -105,7 +105,9 @@ def _choose_tiling(n: int, np_: int, cs: int, static_ncc) -> Tuple[int, Optional
     Non-windowed path: largest VMEM-fitting tile (dense K/V is shared per
     instance, so bigger tiles amortize it best).
     """
-    if static_ncc is not None and not _INTERPRET:
+    use_compact = os.environ.get("MLAFF_COMPACT", "0") == "1"
+    static_pos = getattr(static_ncc, "pos", None) if static_ncc else None
+    if static_ncc is not None and (not _INTERPRET or use_compact):
         # kappa fitted to the measured stage-1 sweep (tq 112/224/448 ->
         # 7.42/7.12/8.04 ms): per-instance fixed cost is worth ~64 rows
         kappa = int(os.environ.get("MLAFF_KAPPA", "64"))
@@ -120,18 +122,30 @@ def _choose_tiling(n: int, np_: int, cs: int, static_ncc) -> Tuple[int, Optional
         while t <= min(n, 512):
             if n % t == 0:
                 cands = []
-                win = _static_window(static_ncc.arr, n, t, cs, np_)
-                if win is not None:
-                    cands.append(win)
-                if use_bands:
-                    wb = _static_bands(static_ncc.arr, n, t, cs, np_)
-                    if wb is not None:
-                        cands.append(wb)
+                if not _INTERPRET:
+                    win = _static_window(static_ncc.arr, n, t, cs, np_)
+                    if win is not None:
+                        cands.append(win)
+                    if use_bands:
+                        wb = _static_bands(static_ncc.arr, n, t, cs, np_)
+                        if wb is not None:
+                            cands.append(wb)
+                if use_compact and static_pos is not None:
+                    wc = _static_compact(
+                        static_ncc.arr, static_pos, n, t, cs, np_
+                    )
+                    if wc is not None:
+                        cands.append(wc)
+                if forced and t == int(forced) and cands:
+                    # forced-tq experiments: compact wins ties when enabled
+                    compacts = [c for c in cands if c[0] == "compact"]
+                    return t, (compacts[0] if compacts else cands[0])
                 for cand in cands:
-                    nb, Wb = cand[0], cand[1]
-                    if forced and t == int(forced):
-                        return t, cand
-                    cost = (n // t) * nb * Wb * (t + kappa)
+                    if cand[0] == "compact":
+                        width = cand[1] * cand[2]
+                    else:
+                        width = cand[0] * cand[1]
+                    cost = (n // t) * width * (t + kappa)
                     if best is None or cost < best[0]:
                         best = (cost, t, cand)
             t += 8
@@ -213,17 +227,86 @@ def _static_bands(static_ncc, n, tq, cs, np_):
     return nb, 128, np128, offs
 
 
+def _static_compact(static_ncc, static_pos, n, tq, cs, np_, bs=16):
+    """Compact-union K/V layout for a host-constant geometry stage.
+
+    Each query's neighborhood is only ``nnc*cs`` rows, but the windowed
+    kernel evaluates (tq, W) planes over the full contiguous cluster band
+    (W ~ 896 at mini stage-1) — most plane columns are masked out. This
+    variant instead enumerates, per query tile, the exact union of
+    ``bs``-row blocks its neighbor clusters touch; the kernel copies those
+    blocks out of the VMEM-resident K/V into a contiguous scratch (no
+    extra DMAs — the per-band-DMA streaming variant lost to exactly that
+    overhead, see PERF.md) and runs the same dense-masked math over the
+    ~2-3x narrower compact plane.
+
+    Because positions are host-constant too, the per-column K positions
+    and cluster ids are precomputed here as (nt, ...) lane-vector tables
+    (-1 cluster = padded/out-of-range column, never matches any ncc).
+
+    Returns ``("compact", U, bs, np_pad, starts (nt,U), clc (nt,U*bs),
+    posc (nt,2,U*bs))`` or None when the union is not narrower than the
+    padded token axis. ``bs`` = 16 keeps dynamic row slices aligned to
+    the bf16 sublane tile.
+    """
+    import numpy as np
+
+    nt = n // tq
+    ncc_t = np.asarray(static_ncc).reshape(nt, tq, -1)
+    per_tile = []
+    for ti in range(nt):
+        cls = np.unique(ncc_t[ti])
+        blo = cls * cs // bs
+        bhi = ((cls + 1) * cs - 1) // bs
+        blocks = np.unique(
+            np.concatenate([np.arange(a, b + 1) for a, b in zip(blo, bhi)])
+        )
+        blocks = blocks[blocks * bs < n]
+        per_tile.append(blocks)
+    u_max = max(len(x) for x in per_tile)
+    # pad the compact width up to a lane-tile multiple
+    u_pad = -(-u_max * bs // 128) * 128 // bs
+    ucs = u_pad * bs
+    np_pad = -(-np_ // bs) * bs
+    if ucs >= np_pad:
+        return None
+    starts = np.full((nt, u_pad), -1, np.int32)
+    for ti, blocks in enumerate(per_tile):
+        starts[ti, : len(blocks)] = blocks * bs
+    clc = np.full((nt, ucs), -1, np.int32)
+    posc = np.zeros((nt, 2, ucs), np.float32)
+    pos_np = np.asarray(static_pos, np.float32)
+    rows_rel = np.arange(bs)
+    for ti in range(nt):
+        for ui in range(u_pad):
+            b0 = starts[ti, ui]
+            if b0 < 0:
+                continue
+            rows = b0 + rows_rel
+            valid = rows < n
+            sl = slice(ui * bs, (ui + 1) * bs)
+            clc[ti, sl][valid] = rows[valid] // cs
+            posc[ti, 0, sl][valid] = pos_np[rows[valid], 0]
+            posc[ti, 1, sl][valid] = pos_np[rows[valid], 1]
+    return "compact", u_pad, bs, np_pad, starts, clc, posc
+
+
 class _StaticNcc:
-    """Hashable wrapper so host-constant neighborhoods can ride through
+    """Hashable wrapper so host-constant neighborhoods (and, when the
+    caller has them, host-constant token positions) can ride through
     ``custom_vjp`` nondiff_argnums (which are closed over and must hash)."""
 
-    __slots__ = ("arr", "_key")
+    __slots__ = ("arr", "pos", "_key")
 
-    def __init__(self, arr):
+    def __init__(self, arr, pos=None):
         import numpy as np
 
         self.arr = np.asarray(arr, dtype=np.int32)
-        self._key = (self.arr.shape, self.arr.tobytes())
+        self.pos = None if pos is None else np.asarray(pos, dtype=np.float32)
+        self._key = (
+            self.arr.shape, self.arr.tobytes(),
+            None if self.pos is None else self.pos.tobytes(),
+        )
 
     def __hash__(self):
         return hash(self._key)
@@ -233,7 +316,7 @@ class _StaticNcc:
 
 
 def _geometry(posq_ref, pxk, pyk, ncc_ref, bi, tq, W, col0, cs, n_valid,
-              rel_width, clamp_hi, nnc, want_feat: bool):
+              rel_width, clamp_hi, nnc, want_feat: bool, col_cluster=None):
     """Shared per-image geometry: rel-pos planes + the neighborhood mask.
 
     K positions arrive transposed (2, np) so x/y are LANE vectors (passed
@@ -259,19 +342,27 @@ def _geometry(posq_ref, pxk, pyk, ncc_ref, bi, tq, W, col0, cs, n_valid,
         d2 > 0, jax.lax.rsqrt(jnp.where(d2 > 0, d2, 1.0)), 0.0
     )
 
-    # neighborhood mask: column j belongs iff cluster(j) in ncc[t]
-    col_idx = jax.lax.broadcasted_iota(jnp.int32, (tq, W), 1) + col0
-    col_cluster = col_idx // cs
-    member = jnp.zeros((tq, W), jnp.bool_)
-    for j in range(nnc):
-        member = member | (col_cluster == ncc_ref[bi, :, j][:, None])
-    member = member & (col_idx < n_valid)
+    # neighborhood mask: column j belongs iff cluster(j) in ncc[t].
+    # Compact mode passes per-column cluster ids directly (-1 at padded
+    # columns, which never matches), covering the n_valid check too.
+    if col_cluster is not None:
+        cc = col_cluster[None, :]
+        member = jnp.zeros((tq, W), jnp.bool_)
+        for j in range(nnc):
+            member = member | (cc == ncc_ref[bi, :, j][:, None])
+    else:
+        col_idx = jax.lax.broadcasted_iota(jnp.int32, (tq, W), 1) + col0
+        cc = col_idx // cs
+        member = jnp.zeros((tq, W), jnp.bool_)
+        for j in range(nnc):
+            member = member | (cc == ncc_ref[bi, :, j][:, None])
+        member = member & (col_idx < n_valid)
     if want_feat:
         return dx, dy, d2, inv, member, d2 * inv, dy * inv, dx * inv
     return dx, dy, d2, inv, member
 
 
-def _unpack_refs(refs, nb, wb):
+def _unpack_refs(refs, nb, wb, cu=0, cbs=0, scratch_kv=None):
     """Shared ref unpacking for fwd/bwd.
 
     Windowed kernels (nb >= 1) hold the FULL K/V and transposed K-position
@@ -281,10 +372,42 @@ def _unpack_refs(refs, nb, wb):
     128-quantized window starts. The dense path (nb=0) reads the full
     blocks directly (wb = padded row count).
 
-    Returns (q_ref, get_kv, get_pos, col0s, valids, tail) where
-    ``get_kv(j, bi, c0, c1)`` loads band j's (wb, c1-c0) K/V slice and
-    ``get_pos(j, bi)`` its (pxk, pyk) lane vectors.
+    Compact mode (cu >= 1, see ``_static_compact``): copies the tile's
+    ``cu`` union blocks of ``cbs`` rows out of the resident K/V into the
+    contiguous ``scratch_kv`` and serves reads from it; K positions and
+    per-column cluster ids come from host-precomputed lane-vector tables.
+
+    Returns (q_ref, posq_ref, get_kv, get_pos, col0s, valids, tail,
+    col_cluster) where ``get_kv(j, bi, c0, c1)`` loads band j's
+    (wb, c1-c0) K/V slice, ``get_pos(j, bi)`` its (pxk, pyk) lane
+    vectors, and ``col_cluster`` is the compact-mode per-column cluster
+    lane vector (None otherwise).
     """
+    if cu:
+        starts_ref = refs[0]
+        q_ref = refs[1]
+        kv_ref = refs[2]
+        posq_ref = refs[3]
+        clc_ref = refs[4]
+        posc_ref = refs[5]
+        tail = refs[6:]
+        ti = pl.program_id(1)
+        for u in range(cu):
+            s = jnp.maximum(starts_ref[ti, u], 0)
+            scratch_kv[:, u * cbs:(u + 1) * cbs, :] = (
+                kv_ref[:, pl.ds(s, cbs), :]
+            )
+        col0s = [0]
+        valids = [None]
+
+        def get_kv(j, bi, c0, c1):
+            return scratch_kv[bi, :, c0:c1]
+
+        def get_pos(j, bi):
+            return posc_ref[0, 0, :], posc_ref[0, 1, :]
+
+        return (q_ref, posq_ref, get_kv, get_pos, col0s, valids, tail,
+                clc_ref[0, :])
     if nb:
         off_ref = refs[0]
         q_ref = refs[1]
@@ -303,6 +426,8 @@ def _unpack_refs(refs, nb, wb):
         def get_pos(j, bi):
             return (posk_ref[bi, 0, pl.ds(col0s[j], wb)],
                     posk_ref[bi, 1, pl.ds(col0s[j], wb)])
+
+        return q_ref, posq_ref, get_kv, get_pos, col0s, valids, tail, None
     else:
         q_ref = refs[0]
         kv_ref = refs[1]
@@ -318,15 +443,18 @@ def _unpack_refs(refs, nb, wb):
         def get_pos(j, bi):
             return posk_ref[bi, 0, :], posk_ref[bi, 1, :]
 
-    return q_ref, posq_ref, get_kv, get_pos, col0s, valids, tail
+    return q_ref, posq_ref, get_kv, get_pos, col0s, valids, tail, None
 
 
 def _fwd_kernel(*refs, h: int, cs: int, n_valid: int, rel_width: int,
                 clamp_hi: Optional[int], hiprec: bool, nb: int, wb: int,
-                batch_inv: bool):
+                batch_inv: bool, cu: int = 0, cbs: int = 0):
+    scratch_kv = None
+    if cu:
+        refs, scratch_kv = refs[:-1], refs[-1]
     (q_ref, posq_ref, get_kv, get_pos, col0s, valids,
-     (ncc_ref, wpe_ref, bpe_ref, bk_ref, bv_ref, out_ref)) = _unpack_refs(
-        refs, nb, wb)
+     (ncc_ref, wpe_ref, bpe_ref, bk_ref, bv_ref, out_ref),
+     col_cluster) = _unpack_refs(refs, nb, wb, cu, cbs, scratch_kv)
     nbands = max(nb, 1)
     gb = q_ref.shape[0]  # images per kernel instance
     tq = q_ref.shape[1]
@@ -350,6 +478,7 @@ def _fwd_kernel(*refs, h: int, cs: int, n_valid: int, rel_width: int,
             posq_ref, pxk, pyk, ncc_ref, bi, tq,
             wb, col0s[j], cs, n_valid,
             rel_width, clamp_hi, nnc, want_feat=want_feat,
+            col_cluster=col_cluster,
         )
         if valids[j] is not None:
             g = g[:4] + (g[4] & valids[j],) + g[5:]
@@ -432,15 +561,21 @@ def _pad_rows(x, np_):
 
 
 def _gb_for(b: int, per_image_bytes: int, budget: int, cap: int = 16,
-            h: int = 1) -> int:
+            h: int = 1, np_: int = 0) -> int:
     """Images per kernel instance. Besides the VMEM budget, bound the
     unrolled body size (gb * h iterations): Mosaic compile time grows
     superlinearly with it, and models with many distinct kernel shapes
     (MaskFiner: 7 backbones) otherwise take an hour to compile.
-    ``MLAFF_GBH`` overrides the gb*h bound (raising it trades compile
-    time for per-instance batching — matters for high-head-count models);
+
+    The bound is shape-aware: small-token stages (np_ <= 256 — AFF
+    stages 3/4) have tiny per-iteration plane bodies and are unroll-count
+    bound, so they get a 6x higher budget (measured at Small shapes,
+    b128: n=196 h=12 3.18 -> 3.00 ms, n=49 h=24 3.32 -> 2.54 ms with
+    gb 16; while the wide n=784 stage REGRESSES 6.22 -> 6.83 under the
+    same raise, hence the np_ gate). ``MLAFF_GBH`` overrides the bound;
     ``MLAFF_GB_CAP`` hard-caps gb for experiments."""
-    gbh = int(os.environ.get("MLAFF_GBH", "64"))
+    default = "64" if (np_ == 0 or np_ > 256) else "384"
+    gbh = int(os.environ.get("MLAFF_GBH", default))
     cap = min(cap, max(1, gbh // max(h, 1)))
     env = os.environ.get("MLAFF_GB_CAP")
     if env:
@@ -468,7 +603,18 @@ def _attention_fwd_impl(q, kv, ncc, pos, pe_kernel, pe_bias, blank_k,
     clamp_hi = clamp_width - 1 if clamp_width else None
     hiprec = q.dtype == jnp.float32
 
-    if window is not None:
+    compact = window is not None and window[0] == "compact"
+    if compact:
+        _, cu, cbs, np_, starts_np, clc_np, posc_np = window
+        ucs = cu * cbs
+        budget_mb = int(os.environ.get("MLAFF_WIN_BUDGET_MB", "16"))
+        # resident K/V + the compact scratch copy per image
+        gb = _gb_for(
+            b, (np_ + ucs) * 2 * c * kv.dtype.itemsize,
+            budget_mb * 1024 * 1024, h=h,
+        )
+        nb, Wb = 0, ucs
+    elif window is not None:
         nb, Wb, np_, offs_np = window  # K/V padded so windows stay in bounds
         # K/V and K-positions stay RESIDENT in VMEM per image group (their
         # index maps ignore the tile dim, so Pallas fetches them once per
@@ -485,7 +631,7 @@ def _attention_fwd_impl(q, kv, ncc, pos, pe_kernel, pe_bias, blank_k,
         Wb = np_
         # dense K/V per image; batching amortizes per-instance overhead
         # (the small-n stages are otherwise launch-bound)
-        gb = _gb_for(b, np_ * 2 * c * 2, 8 * 1024 * 1024, h=h)
+        gb = _gb_for(b, np_ * 2 * c * 2, 8 * 1024 * 1024, h=h, np_=np_)
 
     kv_p = _pad_rows(kv, np_)
     pos_p = _pad_rows(pos, np_)
@@ -494,6 +640,7 @@ def _attention_fwd_impl(q, kv, ncc, pos, pe_kernel, pe_bias, blank_k,
         _fwd_kernel, h=h, cs=cs, n_valid=n, rel_width=rel_width,
         clamp_hi=clamp_hi, hiprec=hiprec, nb=nb, wb=Wb,
         batch_inv=static_ncc is not None,
+        cu=cu if compact else 0, cbs=cbs if compact else 0,
     )
     out_shape = jax.ShapeDtypeStruct((b, n, c), q.dtype)
     pos_t = pos_p.transpose(0, 2, 1)
@@ -510,6 +657,50 @@ def _attention_fwd_impl(q, kv, ncc, pos, pe_kernel, pe_bias, blank_k,
     compiler_params = pltpu.CompilerParams(
         vmem_limit_bytes=100 * 1024 * 1024
     )
+
+    if compact:
+        # Resident K/V (fetched once per image group) + per-tile compact
+        # union scratch: the scalar-prefetched block starts drive in-VMEM
+        # copies; K positions / column cluster ids are host-precomputed
+        # per-tile lane-vector tables (see _static_compact).
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(b // gb, n // tq),
+            in_specs=[
+                pl.BlockSpec((gb, tq, c),
+                             lambda bi, ti, sts: (bi, ti, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((gb, np_, 2 * c),
+                             lambda bi, ti, sts: (bi, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((gb, tq, 2),
+                             lambda bi, ti, sts: (bi, ti, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, ucs),
+                             lambda bi, ti, sts: (ti, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 2, ucs),
+                             lambda bi, ti, sts: (ti, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((gb, tq, nnc),
+                             lambda bi, ti, sts: (bi, ti, 0),
+                             memory_space=pltpu.VMEM),
+                *tail_specs,
+            ],
+            out_specs=pl.BlockSpec(
+                (gb, tq, c), lambda bi, ti, sts: (bi, ti, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            scratch_shapes=[pltpu.VMEM((gb, ucs, 2 * c), kv_p.dtype)],
+        )
+        return pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            interpret=_INTERPRET,
+            compiler_params=compiler_params,
+            out_shape=out_shape,
+        )(jnp.asarray(starts_np), q, kv_p, pos_q, jnp.asarray(clc_np),
+          jnp.asarray(posc_np), ncc, *tail_operands)
 
     if window is not None:
         # Resident K/V: full blocks with tile-invariant index maps (one
@@ -578,16 +769,29 @@ def _attention_fwd_impl(q, kv, ncc, pos, pe_kernel, pe_bias, blank_k,
 
 def _bwd_kernel(*refs, h: int, cs: int, n_valid: int, rel_width: int,
                 clamp_hi: Optional[int], hiprec: bool, nb: int, wb: int,
-                batch_inv: bool):
+                batch_inv: bool, cu: int = 0, cbs: int = 0):
     """Fused backward: recomputes the forward softmax per query tile (flash
     style — nothing but the inputs is saved), then produces dq per tile and
     accumulates dkv / d_pos-embed / d_blank into per-image-group VMEM
     blocks across the sequential query-tile grid (the reference's
     ``fastAtomicAdd`` scatters become in-VMEM accumulation — deterministic
-    by construction)."""
+    by construction).
+
+    Compact mode: dk/dv accumulate into a compact fp32 scratch shaped like
+    the compact K/V; an epilogue scatters its union blocks back into the
+    resident dkv block (padded union slots hold exact zeros — their
+    softmax probabilities are masked to 0 — so their clamped-to-0 target
+    rows are unharmed)."""
+    scratch_kv = dkvc_ref = None
+    if cu:
+        refs, scratch_kv, dkvc_ref = refs[:-2], refs[-2], refs[-1]
+    starts_ref = refs[0] if cu else None
     (q_ref, posq_ref, get_kv, get_pos, col0s, valids,
      (ncc_ref, wpe_ref, bpe_ref, bk_ref, bv_ref, gout_ref,
-      dq_ref, dkv_ref, dpe_ref, dblank_ref)) = _unpack_refs(refs, nb, wb)
+      dq_ref, dkv_ref, dpe_ref, dblank_ref),
+     col_cluster) = _unpack_refs(refs, nb, wb, cu, cbs, scratch_kv)
+    if cu:
+        dkvc_ref[...] = jnp.zeros(dkvc_ref.shape, dkvc_ref.dtype)
     nbands = max(nb, 1)
     gb = q_ref.shape[0]
     tq = q_ref.shape[1]
@@ -621,6 +825,7 @@ def _bwd_kernel(*refs, h: int, cs: int, n_valid: int, rel_width: int,
             posq_ref, pxk, pyk, ncc_ref, bi, tq,
             wb, col0s[j], cs, n_valid,
             rel_width, clamp_hi, nnc, want_feat=True,
+            col_cluster=col_cluster,
         )
         if valids[j] is not None:
             g = g[:4] + (g[4] & valids[j],) + g[5:]
@@ -720,7 +925,14 @@ def _bwd_kernel(*refs, h: int, cs: int, n_valid: int, rel_width: int,
                 )  # (Wb, c_)
                 k0 = 2 * hi * c_
                 v0 = (2 * hi + 1) * c_
-                if nb:
+                if cu:
+                    dkvc_ref[bi, :, k0:k0 + c_] = (
+                        dkvc_ref[bi, :, k0:k0 + c_] + dkw
+                    )
+                    dkvc_ref[bi, :, v0:v0 + c_] = (
+                        dkvc_ref[bi, :, v0:v0 + c_] + dvw
+                    )
+                elif nb:
                     dkv_ref[bi, pl.ds(col0s[j], wb), k0:k0 + c_] = (
                         dkv_ref[bi, pl.ds(col0s[j], wb), k0:k0 + c_] + dkw
                     )
@@ -759,8 +971,15 @@ def _bwd_kernel(*refs, h: int, cs: int, n_valid: int, rel_width: int,
             dblank_ref[0, 0:c_, hi:hi + 1] = (
                 dblank_ref[0, 0:c_, hi:hi + 1] + dbk
             )
-            dblank_ref[0, c_:2 * c_, hi:hi + 1] = (
-                dblank_ref[0, c_:2 * c_, hi:hi + 1] + dbv.reshape(c_, 1)
+    if cu:
+        # scatter the compact dk/dv accumulator back into the resident
+        # dkv block (all images of the group at once per union block)
+        tic = pl.program_id(1)
+        for u in range(cu):
+            s = jnp.maximum(starts_ref[tic, u], 0)
+            dkv_ref[:, pl.ds(s, cbs), :] = (
+                dkv_ref[:, pl.ds(s, cbs), :]
+                + dkvc_ref[:, u * cbs:(u + 1) * cbs, :]
             )
     dpe_ref[...] = dpe_ref[...] + dpe_tile
 
@@ -780,7 +999,18 @@ def _attention_bwd_impl(q, kv, ncc, pos, pe_kernel, pe_bias, blank_k,
     clamp_hi = clamp_width - 1 if clamp_width else None
     hiprec = q.dtype == jnp.float32
 
-    if window is not None:
+    compact = window is not None and window[0] == "compact"
+    if compact:
+        _, cu, cbs, np_, starts_np, clc_np, posc_np = window
+        ucs = cu * cbs
+        # resident K/V + fp32 dkv accumulator + the two compact scratches
+        gb = _gb_for(
+            b,
+            np_ * (2 * c * kv.dtype.itemsize + 2 * c * 4)
+            + ucs * 2 * c * (kv.dtype.itemsize + 4),
+            24 * 1024 * 1024, cap=8, h=h)
+        nb, Wb = 0, ucs
+    elif window is not None:
         nb, Wb, np_, offs_np = window
         # resident K/V + fp32 dkv accumulator per image in VMEM
         gb = _gb_for(
@@ -793,7 +1023,7 @@ def _attention_bwd_impl(q, kv, ncc, pos, pe_kernel, pe_bias, blank_k,
         # cap 8: the unrolled gb*h backward body keeps more planes live
         # than the forward (measured: gb=16 exceeds VMEM at stage-3 shapes)
         gb = _gb_for(b, (np_ * 2 * c * 2) + (2 * np_ * c * 4),
-                     24 * 1024 * 1024, cap=8, h=h)
+                     24 * 1024 * 1024, cap=8, h=h, np_=np_)
 
     kv_p = _pad_rows(kv, np_)
     pos_p = _pad_rows(pos, np_)
@@ -803,6 +1033,7 @@ def _attention_bwd_impl(q, kv, ncc, pos, pe_kernel, pe_bias, blank_k,
         _bwd_kernel, h=h, cs=cs, n_valid=n, rel_width=rel_width,
         clamp_hi=clamp_hi, hiprec=hiprec, nb=nb, wb=Wb,
         batch_inv=static_ncc is not None,
+        cu=cu if compact else 0, cbs=cbs if compact else 0,
     )
     out_shape = [
         jax.ShapeDtypeStruct((b, n, c), q.dtype),           # dq
@@ -845,7 +1076,52 @@ def _attention_bwd_impl(q, kv, ncc, pos, pe_kernel, pe_bias, blank_k,
                          memory_space=pltpu.VMEM),
         ]
 
-    if window is not None:
+    if compact:
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(b // gb, nt),
+            in_specs=[
+                pl.BlockSpec((gb, tq, c),
+                             lambda bi, ti, sts: (bi, ti, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((gb, np_, 2 * c),
+                             lambda bi, ti, sts: (bi, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((gb, tq, 2),
+                             lambda bi, ti, sts: (bi, ti, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, ucs),
+                             lambda bi, ti, sts: (ti, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 2, ucs),
+                             lambda bi, ti, sts: (ti, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((gb, tq, nnc),
+                             lambda bi, ti, sts: (bi, ti, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec((gb, tq, c),
+                             lambda bi, ti, sts: (bi, ti, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=out_specs(True),
+            scratch_shapes=[
+                pltpu.VMEM((gb, ucs, 2 * c), kv_p.dtype),
+                pltpu.VMEM((gb, ucs, 2 * c), jnp.float32),
+            ],
+        )
+        outs = pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            interpret=_INTERPRET,
+            compiler_params=compiler_params,
+            out_shape=out_shape,
+        )(jnp.asarray(starts_np), q, kv_p, pos_q, jnp.asarray(clc_np),
+          jnp.asarray(posc_np), ncc, *tail_operands)
+    elif window is not None:
         # Resident K/V + K-positions (tile-invariant index maps: one fetch
         # per image group); band starts via scalar prefetch, sliced in-VMEM.
         grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -954,7 +1230,8 @@ def _pad_mask(ncc, cs, n, nnc):
 
 def fused_cluster_attention(q, kv, ncc, pos, pe_kernel, pe_bias,
                             blank_k, blank_v, num_heads, cs, rel_width,
-                            clamp_width=0, static_ncc=None):
+                            clamp_width=0, static_ncc=None,
+                            static_pos=None):
     """Fused local cluster attention (see module docstring).
 
     Args:
@@ -979,11 +1256,17 @@ def fused_cluster_attention(q, kv, ncc, pos, pe_kernel, pe_bias,
             path (each query tile streams only its cluster band) and
             batch-invariant geometry hoisting (rel-pos/mask/bias planes
             computed once per instance instead of per image).
+        static_pos: optional host-constant (n, 2) numpy copy of ``pos``
+            (cluster-ordered, same contract). Together with ``static_ncc``
+            it additionally enables the compact-union K/V layout
+            (``MLAFF_COMPACT=1``, see ``_static_compact``).
 
     Returns:
         out (b, n, c) with the blank-token contribution already added.
     """
-    wrapped = None if static_ncc is None else _StaticNcc(static_ncc)
+    wrapped = (
+        None if static_ncc is None else _StaticNcc(static_ncc, static_pos)
+    )
     return _fca(q, kv, ncc, pos, pe_kernel, pe_bias, blank_k, blank_v,
                 num_heads, cs, rel_width, clamp_width, wrapped)
 

@@ -49,6 +49,7 @@ def main() -> None:
     fca = lambda q, kv: cp.fused_cluster_attention(  # noqa: E731
         q, kv, ncc, pos, pe_kernel, pe_bias, blank_k, blank_v,
         num_heads=h, cs=cs, rel_width=R, static_ncc=ncc_np,
+        static_pos=pos_np,
     )
 
     @jax.jit

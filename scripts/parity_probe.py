@@ -93,7 +93,8 @@ def main():
 
         fused = jax.jit(
             lambda *a: cp.fused_cluster_attention(
-                *a, num_heads=heads, cs=cs, rel_width=R, static_ncc=ncc_np
+                *a, num_heads=heads, cs=cs, rel_width=R, static_ncc=ncc_np,
+                static_pos=g_pos,
             )
         )
         plain = jax.jit(
@@ -122,6 +123,7 @@ def main():
             o = cp.fused_cluster_attention(
                 q_tm, kv_tm, ncc, pos, pek, peb, bk, bv,
                 num_heads=heads, cs=cs, rel_width=R, static_ncc=ncc_np,
+                static_pos=g_pos,
             )
             return o.astype(jnp.float32).sum()
 
