@@ -551,6 +551,103 @@ def _fwd_kernel(*refs, h: int, cs: int, n_valid: int, rel_width: int,
             out_ref[bi, :, hi * c_:(hi + 1) * c_] = out.astype(out_ref.dtype)
 
 
+def _fwd_kernel_stacked(q_ref, kv_ref, posq_ref, posk_ref, ncc_ref,
+                        wpe_ref, bpe_ref, bk_ref, bv_ref, out_ref, *,
+                        h: int, cs: int, n_valid: int, np_: int,
+                        rel_width: int, clamp_hi: Optional[int],
+                        hiprec: bool, gb: int):
+    """Dense-path forward with the image group stacked along rows.
+
+    The small-token stages (n <= 256: AFF stages 3/4) are bound by
+    per-op fixed latency, not element work — the (tq, W) planes are a
+    handful of vregs, and the per-(image, head) unrolled body costs ~2 us
+    per iteration regardless of gb (see PERF.md). This variant receives
+    q/pos/ncc with the image axis FOLDED INTO ROWS at the XLA level
+    (padded to np_ rows per image, so every per-image row offset is
+    sublane-aligned) and runs each VPU chain — geometry, membership,
+    bias, exp, reductions, normalization — ONCE per head over the tall
+    (gb*np_, np_) plane instead of once per (image, head). Only the QK/AV
+    matmuls stay per image (K/V genuinely differ), their outputs
+    concatenated along rows in-register. Padded query rows fall out
+    masked (their neighborhoods are NEG_INF) and the caller slices them
+    off.
+    """
+    G = gb * np_
+    c = q_ref.shape[1]
+    c_ = c // h
+    nnc = ncc_ref.shape[1]
+    prec = jax.lax.Precision.HIGHEST if hiprec else None
+
+    pxq = posq_ref[:, 0:1].astype(jnp.float32)  # (G, 1) sublane vec
+    pyq = posq_ref[:, 1:2].astype(jnp.float32)
+    # tall K-coordinate planes: per-image lane vectors broadcast down
+    # their np_ row block and stacked (vreg moves, no relayout)
+    pxk = jnp.concatenate(
+        [jnp.broadcast_to(
+            posk_ref[bi, 0, :].astype(jnp.float32)[None, :], (np_, np_))
+         for bi in range(gb)], axis=0)
+    pyk = jnp.concatenate(
+        [jnp.broadcast_to(
+            posk_ref[bi, 1, :].astype(jnp.float32)[None, :], (np_, np_))
+         for bi in range(gb)], axis=0)
+    dx = pxk - pxq
+    dy = pyk - pyq
+    if clamp_hi is not None:
+        R = rel_width
+        dx = jnp.clip(dx + R, 0, clamp_hi) - R
+        dy = jnp.clip(dy + R, 0, clamp_hi) - R
+    d2 = dx * dx + dy * dy
+    inv = jnp.where(d2 > 0, jax.lax.rsqrt(jnp.where(d2 > 0, d2, 1.0)), 0.0)
+
+    col_idx = jax.lax.broadcasted_iota(jnp.int32, (G, np_), 1)
+    cc = col_idx // cs
+    member = jnp.zeros((G, np_), jnp.bool_)
+    for j in range(nnc):
+        member = member | (cc == ncc_ref[:, j][:, None])
+    member = member & (col_idx < n_valid)
+
+    for hi in range(h):
+        # mask folded into the bias plane: post-exp masking is free via
+        # exp underflow, same trick as the batch-invariant path
+        bias = jnp.where(
+            member,
+            wpe_ref[0, hi] * dx + wpe_ref[1, hi] * dy
+            + (wpe_ref[2, hi] * d2 + wpe_ref[3, hi] * dy
+               + wpe_ref[4, hi] * dx) * inv
+            + bpe_ref[hi],
+            NEG_INF,
+        )
+        qh = q_ref[:, hi * c_:(hi + 1) * c_]  # (G, c_)
+        lgs = []
+        for bi in range(gb):
+            k = kv_ref[bi, :, 2 * hi * c_:(2 * hi + 1) * c_]
+            lgs.append(jax.lax.dot_general(
+                qh[bi * np_:(bi + 1) * np_, :], k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=prec,
+            ))
+        lg = jnp.concatenate(lgs, axis=0) + bias  # (G, np_)
+        blank = jax.lax.dot_general(
+            qh, bk_ref[:, hi:hi + 1], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec,
+        )  # (G, 1) — one tall matmul, not per image
+        mx = jnp.maximum(blank, lg.max(axis=-1, keepdims=True))
+        p = jnp.exp(lg - mx)
+        pb = jnp.exp(blank - mx)
+        denom = pb + p.sum(axis=-1, keepdims=True)
+        pn = p / denom
+        outs = []
+        for bi in range(gb):
+            v = kv_ref[bi, :, (2 * hi + 1) * c_:(2 * hi + 2) * c_]
+            outs.append(jax.lax.dot_general(
+                pn[bi * np_:(bi + 1) * np_, :].astype(v.dtype), v,
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=prec,
+            ))
+        o = jnp.concatenate(outs, axis=0)
+        o = o + (pb / denom) * bv_ref[hi:hi + 1, :].astype(jnp.float32)
+        out_ref[:, hi * c_:(hi + 1) * c_] = o.astype(out_ref.dtype)
+
+
 def _pad_rows(x, np_):
     n = x.shape[1]
     if np_ == n:
@@ -633,6 +730,19 @@ def _attention_fwd_impl(q, kv, ncc, pos, pe_kernel, pe_bias, blank_k,
         # (the small-n stages are otherwise launch-bound)
         gb = _gb_for(b, np_ * 2 * c * 2, 8 * 1024 * 1024, h=h, np_=np_)
 
+    # stacked dense path for the small-token stages (see
+    # _fwd_kernel_stacked): image group folded into rows, one VPU chain
+    # per head instead of per (image, head)
+    stacked = (
+        os.environ.get("MLAFF_STACK", "0") == "1"
+        and window is None and static_ncc is None and np_ <= 256
+    )
+    if stacked:
+        gb = _gb_for(
+            b, np_ * 2 * c * 2 + np_ * np_ * 4 * 4,
+            40 * 1024 * 1024, h=h, np_=np_,
+        )
+
     kv_p = _pad_rows(kv, np_)
     pos_p = _pad_rows(pos, np_)
 
@@ -657,6 +767,38 @@ def _attention_fwd_impl(q, kv, ncc, pos, pe_kernel, pe_bias, blank_k,
     compiler_params = pltpu.CompilerParams(
         vmem_limit_bytes=100 * 1024 * 1024
     )
+
+    if stacked:
+        skernel = functools.partial(
+            _fwd_kernel_stacked, h=h, cs=cs, n_valid=n, np_=np_,
+            rel_width=rel_width, clamp_hi=clamp_hi, hiprec=hiprec, gb=gb,
+        )
+        q_s = _pad_rows(q, np_).reshape(b * np_, c)
+        posq_s = _pad_rows(pos_q, np_).reshape(b * np_, 2)
+        ncc_s = _pad_rows(ncc, np_).reshape(b * np_, nnc)
+        out = pl.pallas_call(
+            skernel,
+            grid=(b // gb,),
+            interpret=_INTERPRET,
+            compiler_params=compiler_params,
+            in_specs=[
+                pl.BlockSpec((gb * np_, c), lambda bi: (bi, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((gb, np_, 2 * c), lambda bi: (bi, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((gb * np_, 2), lambda bi: (bi, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((gb, 2, np_), lambda bi: (bi, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((gb * np_, nnc), lambda bi: (bi, 0),
+                             memory_space=pltpu.VMEM),
+                *tail_specs,
+            ],
+            out_specs=pl.BlockSpec((gb * np_, c), lambda bi: (bi, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((b * np_, c), q.dtype),
+        )(q_s, kv_p, posq_s, pos_t, ncc_s, *tail_operands)
+        return out.reshape(b, np_, c)[:, :n, :]
 
     if compact:
         # Resident K/V (fetched once per image group) + per-tile compact

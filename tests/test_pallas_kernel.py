@@ -129,6 +129,23 @@ def test_fused_gradients_match_xla():
         )
 
 
+@pytest.mark.parametrize("n", [128, 196])
+def test_stacked_forward_matches_xla(monkeypatch, n):
+    """Stacked dense path (MLAFF_STACK=1, small-token stages): image group
+    folded into rows — vs the XLA oracle. n=196 covers row padding."""
+    monkeypatch.setenv("MLAFF_STACK", "1")
+    q, k, v, ncc, pos, w5, bh, bk, bv = make_inputs(n, seed=3)
+    with jax.default_matmul_precision("highest"):
+        o_ref = xla_reference(q, k, v, ncc, pos, w5, bh, bk, bv, n)
+        o_f = fused_cluster_attention(
+            to_token_major(q), fuse_kv(k, v), ncc, pos, w5, bh, bk, bv,
+            H, CS, R, 0,
+        )
+    np.testing.assert_allclose(
+        np.asarray(o_f), np.asarray(o_ref), atol=2e-5, rtol=1e-4
+    )
+
+
 def test_compact_union_forward_matches_xla(monkeypatch):
     """Compact-union K/V layout (MLAFF_COMPACT=1, on-grid contract:
     batch-invariant ncc/pos passed as host constants) vs the XLA oracle."""
