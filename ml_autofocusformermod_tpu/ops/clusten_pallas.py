@@ -291,6 +291,46 @@ def _static_compact(static_ncc, static_pos, n, tq, cs, np_, bs=16):
     return "compact", u_pad, bs, np_pad, starts, clc, posc
 
 
+def _twin_tile(n: int) -> Optional[int]:
+    """Query tile for the traced-window path: largest divisor of n that is
+    sublane-aligned and <= 128 (small tiles keep per-tile cluster spans —
+    and hence the static window width — narrow)."""
+    for t in range(128, 7, -8):
+        if n % t == 0:
+            return t
+    return None
+
+
+def _traced_window(ncc, n, np_, cs, tq):
+    """Per-(image, tile) window starts computed IN-GRAPH from the traced
+    neighborhoods (data-dependent clustering: every image has its own
+    cluster order, unlike the host-constant on-grid stage).
+
+    The static window width is ``MLAFF_TWIN_FRAC`` (default 0.5) of the
+    padded token axis; space-filling-curve locality keeps each tile's
+    neighbor clusters inside such a band in practice, and the caller
+    guards dispatch with the returned ``ok`` scalar (lax.cond to the
+    dense path when any span overflows — correctness never depends on
+    the locality assumption).
+
+    Returns ``(Wt, offs128 (b, nt) i32, ok bool scalar)`` or
+    ``(None, None, None)`` when windowing cannot pay.
+    """
+    b = ncc.shape[0]
+    np128 = -(-np_ // 128) * 128
+    frac = float(os.environ.get("MLAFF_TWIN_FRAC", "0.5"))
+    wt = int(np128 * frac / 128) * 128
+    if wt < 256 or wt >= np128:
+        return None, None, None
+    nt = n // tq
+    ncc_t = ncc.reshape(b, nt, tq, -1)
+    rmin = ncc_t.min(axis=(2, 3)).astype(jnp.int32) * cs
+    rmax = (ncc_t.max(axis=(2, 3)).astype(jnp.int32) + 1) * cs
+    offs = jnp.clip(rmin // 128 * 128, 0, np128 - wt)
+    ok = jnp.all((rmax - offs) <= wt)
+    return wt, (offs // 128).astype(jnp.int32), ok
+
+
 class _StaticNcc:
     """Hashable wrapper so host-constant neighborhoods (and, when the
     caller has them, host-constant token positions) can ride through
@@ -397,8 +437,10 @@ def _unpack_refs(refs, nb, wb, cu=0, cbs=0, scratch_kv=None):
             scratch_kv[:, u * cbs:(u + 1) * cbs, :] = (
                 kv_ref[:, pl.ds(s, cbs), :]
             )
-        col0s = [0]
         valids = [None]
+
+        def col0(j, bi):
+            return 0
 
         def get_kv(j, bi, c0, c1):
             return scratch_kv[bi, :, c0:c1]
@@ -406,7 +448,7 @@ def _unpack_refs(refs, nb, wb, cu=0, cbs=0, scratch_kv=None):
         def get_pos(j, bi):
             return posc_ref[0, 0, :], posc_ref[0, 1, :]
 
-        return (q_ref, posq_ref, get_kv, get_pos, col0s, valids, tail,
+        return (q_ref, posq_ref, get_kv, get_pos, col0, valids, tail,
                 clc_ref[0, :])
     if nb:
         off_ref = refs[0]
@@ -416,26 +458,40 @@ def _unpack_refs(refs, nb, wb, cu=0, cbs=0, scratch_kv=None):
         posk_ref = refs[4]
         tail = refs[5:]
         ti = pl.program_id(1)
-        raws = [off_ref[ti, j] for j in range(nb)]
-        col0s = [jnp.maximum(r, 0) * 128 for r in raws]
-        valids = [r >= 0 for r in raws]
+        if len(off_ref.shape) == 3:
+            # traced per-(image, tile) window starts (b//gb, gb, nt):
+            # data-dependent clustering gives every image its own band
+            gi = pl.program_id(0)
+            valids = [None]  # spans verified in-graph before dispatch
+
+            def col0(j, bi):
+                return off_ref[gi, bi, ti] * 128
+        else:
+            raws = [off_ref[ti, j] for j in range(nb)]
+            col0s = [jnp.maximum(r, 0) * 128 for r in raws]
+            valids = [r >= 0 for r in raws]
+
+            def col0(j, bi):
+                return col0s[j]
 
         def get_kv(j, bi, c0, c1):
-            return kv_ref[bi, pl.ds(col0s[j], wb), c0:c1]
+            return kv_ref[bi, pl.ds(col0(j, bi), wb), c0:c1]
 
         def get_pos(j, bi):
-            return (posk_ref[bi, 0, pl.ds(col0s[j], wb)],
-                    posk_ref[bi, 1, pl.ds(col0s[j], wb)])
+            return (posk_ref[bi, 0, pl.ds(col0(j, bi), wb)],
+                    posk_ref[bi, 1, pl.ds(col0(j, bi), wb)])
 
-        return q_ref, posq_ref, get_kv, get_pos, col0s, valids, tail, None
+        return q_ref, posq_ref, get_kv, get_pos, col0, valids, tail, None
     else:
         q_ref = refs[0]
         kv_ref = refs[1]
         posq_ref = refs[2]
         posk_ref = refs[3]
         tail = refs[4:]
-        col0s = [0]
         valids = [None]  # statically valid
+
+        def col0(j, bi):
+            return 0
 
         def get_kv(j, bi, c0, c1):
             return kv_ref[bi, :, c0:c1]
@@ -443,7 +499,7 @@ def _unpack_refs(refs, nb, wb, cu=0, cbs=0, scratch_kv=None):
         def get_pos(j, bi):
             return posk_ref[bi, 0, :], posk_ref[bi, 1, :]
 
-    return q_ref, posq_ref, get_kv, get_pos, col0s, valids, tail, None
+    return q_ref, posq_ref, get_kv, get_pos, col0, valids, tail, None
 
 
 def _fwd_kernel(*refs, h: int, cs: int, n_valid: int, rel_width: int,
@@ -452,7 +508,7 @@ def _fwd_kernel(*refs, h: int, cs: int, n_valid: int, rel_width: int,
     scratch_kv = None
     if cu:
         refs, scratch_kv = refs[:-1], refs[-1]
-    (q_ref, posq_ref, get_kv, get_pos, col0s, valids,
+    (q_ref, posq_ref, get_kv, get_pos, col0, valids,
      (ncc_ref, wpe_ref, bpe_ref, bk_ref, bv_ref, out_ref),
      col_cluster) = _unpack_refs(refs, nb, wb, cu, cbs, scratch_kv)
     nbands = max(nb, 1)
@@ -476,7 +532,7 @@ def _fwd_kernel(*refs, h: int, cs: int, n_valid: int, rel_width: int,
         pxk, pyk = get_pos(j, bi)
         g = _geometry(
             posq_ref, pxk, pyk, ncc_ref, bi, tq,
-            wb, col0s[j], cs, n_valid,
+            wb, col0(j, bi), cs, n_valid,
             rel_width, clamp_hi, nnc, want_feat=want_feat,
             col_cluster=col_cluster,
         )
@@ -743,6 +799,18 @@ def _attention_fwd_impl(q, kv, ncc, pos, pe_kernel, pe_bias, blank_k,
             40 * 1024 * 1024, h=h, np_=np_,
         )
 
+    # traced-window path for large data-dependent stages (see
+    # _traced_window): per-(image, tile) K/V bands from the traced ncc,
+    # lax.cond fallback to the dense path when any span overflows
+    twin = None
+    if (os.environ.get("MLAFF_TWIN", "0") == "1" and window is None
+            and not stacked and static_ncc is None and np_ > 256):
+        ttq = _twin_tile(n)
+        if ttq is not None:
+            wt, offs128, ok = _traced_window(ncc, n, np_, cs, ttq)
+            if wt is not None:
+                twin = (ttq, wt, offs128, ok)
+
     kv_p = _pad_rows(kv, np_)
     pos_p = _pad_rows(pos, np_)
 
@@ -883,30 +951,80 @@ def _attention_fwd_impl(q, kv, ncc, pos, pe_kernel, pe_bias, blank_k,
             out_shape=out_shape,
         )(jnp.asarray(offs_np), q, kv_p, pos_q, pos_t, ncc, *tail_operands)
 
-    return pl.pallas_call(
-        kernel,
-        grid=(b // gb, n // tq),
-        interpret=_INTERPRET,
-        compiler_params=compiler_params,
+    def _dense_call(_):
+        return pl.pallas_call(
+            kernel,
+            grid=(b // gb, n // tq),
+            interpret=_INTERPRET,
+            compiler_params=compiler_params,
+            in_specs=[
+                pl.BlockSpec((gb, tq, c), lambda bi, ti: (bi, ti, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((gb, np_, 2 * c), lambda bi, ti: (bi, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((gb, tq, 2), lambda bi, ti: (bi, ti, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((gb, 2, np_), lambda bi, ti: (bi, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((gb, tq, nnc), lambda bi, ti: (bi, ti, 0),
+                             memory_space=pltpu.VMEM),
+                *tail_specs,
+            ],
+            out_specs=pl.BlockSpec(
+                (gb, tq, c), lambda bi, ti: (bi, ti, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            out_shape=out_shape,
+        )(q, kv_p, pos_q, pos_t, ncc, *tail_operands)
+
+    if twin is None:
+        return _dense_call(None)
+
+    ttq, wt, offs128, ok = twin
+    np128 = -(-np_ // 128) * 128
+    gbw = _gb_for(b, np128 * (2 * c * kv.dtype.itemsize + 2 * 4),
+                  16 * 1024 * 1024, h=h)
+    kv_pw = _pad_rows(kv, np128)
+    pos_tw = _pad_rows(pos, np128).transpose(0, 2, 1)
+    wkernel = functools.partial(
+        _fwd_kernel, h=h, cs=cs, n_valid=n, rel_width=rel_width,
+        clamp_hi=clamp_hi, hiprec=hiprec, nb=1, wb=wt, batch_inv=False,
+    )
+    ntw = n // ttq
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b // gbw, ntw),
         in_specs=[
-            pl.BlockSpec((gb, tq, c), lambda bi, ti: (bi, ti, 0),
+            pl.BlockSpec((gbw, ttq, c), lambda bi, ti, offs: (bi, ti, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((gb, np_, 2 * c), lambda bi, ti: (bi, 0, 0),
+            pl.BlockSpec((gbw, np128, 2 * c),
+                         lambda bi, ti, offs: (bi, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((gb, tq, 2), lambda bi, ti: (bi, ti, 0),
+            pl.BlockSpec((gbw, ttq, 2), lambda bi, ti, offs: (bi, ti, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((gb, 2, np_), lambda bi, ti: (bi, 0, 0),
+            pl.BlockSpec((gbw, 2, np128), lambda bi, ti, offs: (bi, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((gb, tq, nnc), lambda bi, ti: (bi, ti, 0),
+            pl.BlockSpec((gbw, ttq, nnc), lambda bi, ti, offs: (bi, ti, 0),
                          memory_space=pltpu.VMEM),
             *tail_specs,
         ],
         out_specs=pl.BlockSpec(
-            (gb, tq, c), lambda bi, ti: (bi, ti, 0),
+            (gbw, ttq, c), lambda bi, ti, offs: (bi, ti, 0),
             memory_space=pltpu.VMEM,
         ),
-        out_shape=out_shape,
-    )(q, kv_p, pos_q, pos_t, ncc, *tail_operands)
+    )
+
+    def _twin_call(_):
+        return pl.pallas_call(
+            wkernel,
+            grid_spec=grid_spec,
+            interpret=_INTERPRET,
+            compiler_params=compiler_params,
+            out_shape=out_shape,
+        )(offs128.reshape(b // gbw, gbw, ntw), q, kv_pw, pos_q, pos_tw,
+          ncc, *tail_operands)
+
+    return jax.lax.cond(ok, _twin_call, _dense_call, 0)
 
 
 def _bwd_kernel(*refs, h: int, cs: int, n_valid: int, rel_width: int,
@@ -928,7 +1046,7 @@ def _bwd_kernel(*refs, h: int, cs: int, n_valid: int, rel_width: int,
     if cu:
         refs, scratch_kv, dkvc_ref = refs[:-2], refs[-2], refs[-1]
     starts_ref = refs[0] if cu else None
-    (q_ref, posq_ref, get_kv, get_pos, col0s, valids,
+    (q_ref, posq_ref, get_kv, get_pos, col0, valids,
      (ncc_ref, wpe_ref, bpe_ref, bk_ref, bv_ref, gout_ref,
       dq_ref, dkv_ref, dpe_ref, dblank_ref),
      col_cluster) = _unpack_refs(refs, nb, wb, cu, cbs, scratch_kv)
@@ -965,7 +1083,7 @@ def _bwd_kernel(*refs, h: int, cs: int, n_valid: int, rel_width: int,
         pxk, pyk = get_pos(j, bi)
         g = _geometry(
             posq_ref, pxk, pyk, ncc_ref, bi, tq,
-            wb, col0s[j], cs, n_valid,
+            wb, col0(j, bi), cs, n_valid,
             rel_width, clamp_hi, nnc, want_feat=True,
             col_cluster=col_cluster,
         )
@@ -1075,11 +1193,12 @@ def _bwd_kernel(*refs, h: int, cs: int, n_valid: int, rel_width: int,
                         dkvc_ref[bi, :, v0:v0 + c_] + dvw
                     )
                 elif nb:
-                    dkv_ref[bi, pl.ds(col0s[j], wb), k0:k0 + c_] = (
-                        dkv_ref[bi, pl.ds(col0s[j], wb), k0:k0 + c_] + dkw
+                    c0b = col0(j, bi)
+                    dkv_ref[bi, pl.ds(c0b, wb), k0:k0 + c_] = (
+                        dkv_ref[bi, pl.ds(c0b, wb), k0:k0 + c_] + dkw
                     )
-                    dkv_ref[bi, pl.ds(col0s[j], wb), v0:v0 + c_] = (
-                        dkv_ref[bi, pl.ds(col0s[j], wb), v0:v0 + c_] + dvw
+                    dkv_ref[bi, pl.ds(c0b, wb), v0:v0 + c_] = (
+                        dkv_ref[bi, pl.ds(c0b, wb), v0:v0 + c_] + dvw
                     )
                 else:
                     dkv_ref[bi, :, k0:k0 + c_] = (
@@ -1304,32 +1423,144 @@ def _attention_bwd_impl(q, kv, ncc, pos, pe_kernel, pe_bias, blank_k,
         )(jnp.asarray(offs_np), q, kv_p, pos_q,
           pos_p.transpose(0, 2, 1), ncc, *tail_operands)
     else:
-        outs = pl.pallas_call(
-            kernel,
-            grid=(b // gb, nt),
-            interpret=_INTERPRET,
-            compiler_params=compiler_params,
-            in_specs=[
-                pl.BlockSpec((gb, tq, c), lambda bi, ti: (bi, ti, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((gb, np_, 2 * c), lambda bi, ti: (bi, 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((gb, tq, 2), lambda bi, ti: (bi, ti, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((gb, 2, np_), lambda bi, ti: (bi, 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((gb, tq, nnc), lambda bi, ti: (bi, ti, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec(memory_space=pltpu.SMEM),
-                pl.BlockSpec(memory_space=pltpu.SMEM),
-                pl.BlockSpec(memory_space=pltpu.VMEM),
-                pl.BlockSpec(memory_space=pltpu.VMEM),
-                pl.BlockSpec((gb, tq, c), lambda bi, ti: (bi, ti, 0),
-                             memory_space=pltpu.VMEM),
-            ],
-            out_specs=out_specs(False),
-            out_shape=out_shape,
-        )(q, kv_p, pos_q, pos_p.transpose(0, 2, 1), ncc, *tail_operands)
+        def _dense_bwd(_):
+            outs = pl.pallas_call(
+                kernel,
+                grid=(b // gb, nt),
+                interpret=_INTERPRET,
+                compiler_params=compiler_params,
+                in_specs=[
+                    pl.BlockSpec((gb, tq, c), lambda bi, ti: (bi, ti, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((gb, np_, 2 * c),
+                                 lambda bi, ti: (bi, 0, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((gb, tq, 2), lambda bi, ti: (bi, ti, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((gb, 2, np_), lambda bi, ti: (bi, 0, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((gb, tq, nnc), lambda bi, ti: (bi, ti, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec(memory_space=pltpu.SMEM),
+                    pl.BlockSpec(memory_space=pltpu.SMEM),
+                    pl.BlockSpec(memory_space=pltpu.VMEM),
+                    pl.BlockSpec(memory_space=pltpu.VMEM),
+                    pl.BlockSpec((gb, tq, c), lambda bi, ti: (bi, ti, 0),
+                                 memory_space=pltpu.VMEM),
+                ],
+                out_specs=out_specs(False),
+                out_shape=out_shape,
+            )(q, kv_p, pos_q, pos_p.transpose(0, 2, 1), ncc,
+              *tail_operands)
+            o_dq, o_dkv, o_dpe, o_dblank = outs
+            return (o_dq, o_dkv[:, :n], o_dpe.sum(axis=0),
+                    o_dblank.sum(axis=0))
+
+        # traced-window backward (same dispatch rule as the forward; the
+        # offsets recompute deterministically from the saved ncc)
+        twin = None
+        if (os.environ.get("MLAFF_TWIN", "0") == "1"
+                and static_ncc is None and np_ > 256):
+            ttq = _twin_tile(n)
+            if ttq is not None:
+                wt, offs128, ok = _traced_window(ncc, n, np_, cs, ttq)
+                if wt is not None:
+                    twin = (ttq, wt, offs128, ok)
+
+        if twin is None:
+            dq, dkv, dpe_sum, dblank_sum = _dense_bwd(None)
+        else:
+            ttq, wt, offs128, ok = twin
+            np128 = -(-np_ // 128) * 128
+            gbw = _gb_for(
+                b,
+                np128 * (2 * c * kv.dtype.itemsize + 2 * c * 4 + 2 * 4),
+                24 * 1024 * 1024, cap=8, h=h)
+            kv_pw = _pad_rows(kv, np128)
+            pos_pw = _pad_rows(pos, np128)
+            wkernel = functools.partial(
+                _bwd_kernel, h=h, cs=cs, n_valid=n, rel_width=rel_width,
+                clamp_hi=clamp_hi, hiprec=hiprec, nb=1, wb=wt,
+                batch_inv=False,
+            )
+            ntw = n // ttq
+            w_out_shape = [
+                jax.ShapeDtypeStruct((b, n, c), q.dtype),
+                jax.ShapeDtypeStruct((b, np128, 2 * c), jnp.float32),
+                jax.ShapeDtypeStruct((b // gbw, 8, 128), jnp.float32),
+                jax.ShapeDtypeStruct((b // gbw, 2 * c_, h), jnp.float32),
+            ]
+            grid_spec = pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(b // gbw, ntw),
+                in_specs=[
+                    pl.BlockSpec((gbw, ttq, c),
+                                 lambda bi, ti, offs: (bi, ti, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((gbw, np128, 2 * c),
+                                 lambda bi, ti, offs: (bi, 0, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((gbw, ttq, 2),
+                                 lambda bi, ti, offs: (bi, ti, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((gbw, 2, np128),
+                                 lambda bi, ti, offs: (bi, 0, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((gbw, ttq, nnc),
+                                 lambda bi, ti, offs: (bi, ti, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec(memory_space=pltpu.SMEM),
+                    pl.BlockSpec(memory_space=pltpu.SMEM),
+                    pl.BlockSpec(memory_space=pltpu.VMEM),
+                    pl.BlockSpec(memory_space=pltpu.VMEM),
+                    pl.BlockSpec((gbw, ttq, c),
+                                 lambda bi, ti, offs: (bi, ti, 0),
+                                 memory_space=pltpu.VMEM),
+                ],
+                out_specs=[
+                    pl.BlockSpec((gbw, ttq, c),
+                                 lambda bi, ti, offs: (bi, ti, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((gbw, np128, 2 * c),
+                                 lambda bi, ti, offs: (bi, 0, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((1, 8, 128),
+                                 lambda bi, ti, offs: (bi, 0, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((1, 2 * c_, h),
+                                 lambda bi, ti, offs: (bi, 0, 0),
+                                 memory_space=pltpu.VMEM),
+                ],
+            )
+
+            def _twin_bwd(_):
+                outs = pl.pallas_call(
+                    wkernel,
+                    grid_spec=grid_spec,
+                    interpret=_INTERPRET,
+                    compiler_params=compiler_params,
+                    out_shape=w_out_shape,
+                )(offs128.reshape(b // gbw, gbw, ntw), q, kv_pw, pos_q,
+                  pos_pw.transpose(0, 2, 1), ncc, *tail_operands)
+                o_dq, o_dkv, o_dpe, o_dblank = outs
+                return (o_dq, o_dkv[:, :n], o_dpe.sum(axis=0),
+                        o_dblank.sum(axis=0))
+
+            dq, dkv, dpe_sum, dblank_sum = jax.lax.cond(
+                ok, _twin_bwd, _dense_bwd, 0
+            )
+        d_pe_kernel = dpe_sum[:5, :h]
+        d_pe_bias = dpe_sum[5, :h]
+        d_blank_k = dblank_sum[:c_]
+        d_blank_v = dblank_sum[c_:].T
+        return (
+            dq,
+            dkv.astype(kv.dtype),
+            d_pe_kernel.astype(pe_kernel.dtype),
+            d_pe_bias.astype(pe_bias.dtype),
+            d_blank_k.astype(blank_k.dtype),
+            d_blank_v.astype(blank_v.dtype),
+        )
 
     dq, dkv, dpe, dblank = outs
     dpe_sum = dpe.sum(axis=0)  # (8, 128)

@@ -146,6 +146,43 @@ def test_stacked_forward_matches_xla(monkeypatch, n):
     )
 
 
+def test_traced_window_forward_matches_xla(monkeypatch):
+    """Traced-window dense path (MLAFF_TWIN=1, data-dependent stages):
+    per-(image, tile) K/V bands from the traced ncc, with the in-graph
+    span check choosing windowed vs dense dispatch."""
+    monkeypatch.setenv("MLAFF_TWIN", "1")
+    n = 512
+    q, k, v, ncc, pos, w5, bh, bk, bv = make_inputs(n, seed=4)
+    # spatially-local neighborhoods so the span check passes: token i's
+    # clusters come from a narrow band around its own cluster
+    k_ = n // CS
+    own = jnp.arange(n) // CS
+    ncc = (own[None, :, None]
+           + jnp.asarray([[0, 1, 2]])[None]) % k_
+    ncc = jnp.broadcast_to(ncc, (B, n, NNC)).astype(jnp.int32)
+    with jax.default_matmul_precision("highest"):
+        o_ref = xla_reference(q, k, v, ncc, pos, w5, bh, bk, bv, n)
+        o_f = fused_cluster_attention(
+            to_token_major(q), fuse_kv(k, v), ncc, pos, w5, bh, bk, bv,
+            H, CS, R, 0,
+        )
+    np.testing.assert_allclose(
+        np.asarray(o_f), np.asarray(o_ref), atol=2e-5, rtol=1e-4
+    )
+    # the random-ncc case overflows any band and must fall back (still
+    # correct through the dense branch of the cond)
+    q2, k2, v2, ncc2, pos2, *_ = make_inputs(n, seed=5)
+    with jax.default_matmul_precision("highest"):
+        o_ref2 = xla_reference(q2, k2, v2, ncc2, pos2, w5, bh, bk, bv, n)
+        o_f2 = fused_cluster_attention(
+            to_token_major(q2), fuse_kv(k2, v2), ncc2, pos2, w5, bh, bk, bv,
+            H, CS, R, 0,
+        )
+    np.testing.assert_allclose(
+        np.asarray(o_f2), np.asarray(o_ref2), atol=2e-5, rtol=1e-4
+    )
+
+
 def test_compact_union_forward_matches_xla(monkeypatch):
     """Compact-union K/V layout (MLAFF_COMPACT=1, on-grid contract:
     batch-invariant ncc/pos passed as host constants) vs the XLA oracle."""
