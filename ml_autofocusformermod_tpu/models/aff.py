@@ -26,7 +26,7 @@ from .layers import (
     ClusterMerging,
     ClusterTransformerBlock,
     PatchEmbed,
-    _layer_norm_fp32,
+    LayerNormFp32,
     rel_pos_features,
     trunc_normal_init,
 )
@@ -296,7 +296,7 @@ class AutoFocusFormer(nn.Module):
             )(pos, feat, h=h, w=w, on_grid=i_layer == 0,
               stride=2 ** (i_layer + 1), deterministic=not training)
 
-        feat = _layer_norm_fp32(nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm"), feat)
+        feat = LayerNormFp32(epsilon=1e-5, name="norm")(feat)
         feat = feat.mean(axis=1)
         if self.num_classes > 0:
             feat = nn.Dense(

@@ -17,6 +17,7 @@ Numerical conventions preserved for logit parity:
 from __future__ import annotations
 
 import functools
+import os
 from typing import Any, Callable, Optional, Sequence, Tuple
 
 import flax.linen as nn
@@ -57,6 +58,55 @@ def build_pe_table(img_size: int) -> Tuple[int, int, np.ndarray]:
 def _layer_norm_fp32(norm: nn.LayerNorm, x: jax.Array) -> jax.Array:
     """Apply LayerNorm in float32, return in the input dtype."""
     return norm(x.astype(jnp.float32)).astype(x.dtype)
+
+
+class LayerNormFp32(nn.Module):
+    """LayerNorm in float32 with channel statistics as MXU ones-matmuls.
+
+    XLA lowers a lane-axis (channel) reduce as per-row cross-lane
+    shuffles whose packed scalar outputs force relayouts — measured
+    30-60x off memory roofline at AFF shapes (a (128,784,192) LN costs
+    ~1.15 ms on v5e; the models carry ~60 LNs). Lowering the two sums as
+    ``(rows, c) @ (c, 1)`` matmuls puts them on the otherwise-idle MXU at
+    memory speed. ``MLAFF_LN=vpu`` restores the plain reduce lowering.
+
+    Parameters are named ``scale``/``bias`` with flax.linen.LayerNorm's
+    shapes and inits, so checkpoints and the .pth importer see an
+    identical tree. Variance uses flax's fast-variance form
+    ``E[x^2] - E[x]^2`` (``use_fast_variance=True`` semantics), computed
+    in f32 like the reference's AMP autocast LayerNorm.
+    """
+
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        x32 = x.astype(jnp.float32)
+        if os.environ.get("MLAFF_LN", "dot") == "dot":
+            lead = x32.shape[:-1]
+            xf = x32.reshape(-1, c)
+            ones = jnp.full((c, 1), 1.0 / c, jnp.float32)
+            mean = jax.lax.dot_general(
+                xf, ones, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            mean2 = jax.lax.dot_general(
+                xf * xf, ones, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            var = jnp.maximum(mean2 - mean * mean, 0.0)
+            y = (xf - mean) * jax.lax.rsqrt(var + self.epsilon)
+            y = y * scale[None, :] + bias[None, :]
+            return y.reshape(*lead, c).astype(x.dtype)
+        mean = x32.mean(-1, keepdims=True)
+        var = jnp.maximum(
+            (x32 * x32).mean(-1, keepdims=True) - mean * mean, 0.0
+        )
+        y = (x32 - mean) * jax.lax.rsqrt(var + self.epsilon) * scale + bias
+        return y.astype(x.dtype)
 
 
 def rel_pos_features(rel_pos: jax.Array, rel_pos_width: int) -> jax.Array:
@@ -317,7 +367,7 @@ class ClusterTransformerBlock(nn.Module):
         static_pos=None,
     ) -> jax.Array:
         shortcut = feat
-        x = _layer_norm_fp32(nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm1"), feat)
+        x = LayerNormFp32(epsilon=1e-5, name="norm1")(feat)
         x = ClusterAttention(
             dim=self.dim,
             num_heads=self.num_heads,
@@ -333,7 +383,7 @@ class ClusterTransformerBlock(nn.Module):
           static_ncc=static_ncc, static_pos=static_pos)
 
         drop_path = DropPath(self.drop_path, name="drop_path")
-        norm2 = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm2")
+        norm2 = LayerNormFp32(epsilon=1e-5, name="norm2")
         mlp = Mlp(
             hidden_features=int(self.dim * self.mlp_ratio),
             out_features=self.dim,
@@ -359,11 +409,11 @@ class ClusterTransformerBlock(nn.Module):
                 (self.dim,),
             )
             feat = shortcut + drop_path(gamma1.astype(x.dtype) * x, deterministic)
-            y = mlp(_layer_norm_fp32(norm2, feat), deterministic)
+            y = mlp(norm2(feat), deterministic)
             feat = feat + drop_path(gamma2.astype(y.dtype) * y, deterministic)
         else:
             feat = shortcut + drop_path(x, deterministic)
-            y = mlp(_layer_norm_fp32(norm2, feat), deterministic)
+            y = mlp(norm2(feat), deterministic)
             feat = feat + drop_path(y, deterministic)
         return feat
 
@@ -489,10 +539,10 @@ class ClusterMerging(nn.Module):
             4, dtype=self.dtype, kernel_init=trunc_normal_init(),
             name="weight_net_fc",
         )
-        weight_net_norm = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="weight_net_norm")
+        weight_net_norm = LayerNormFp32(epsilon=1e-5, name="weight_net_norm")
         wt = weight_net_dense(sel_rel.astype(self.dtype))
         weights = nn.gelu(
-            _layer_norm_fp32(weight_net_norm, wt), approximate=False
+            weight_net_norm(wt), approximate=False
         )  # b x n' x m x 4
         inner_ch = weights.shape[-1]
 
@@ -512,7 +562,7 @@ class ClusterMerging(nn.Module):
         else:
             merged = clusten_wf(weights, feat, sel_member_idx)  # b n' ic c
         merged = merged.reshape(b, keep_num, inner_ch * c)
-        merged = _layer_norm_fp32(nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm"), merged)
+        merged = LayerNormFp32(epsilon=1e-5, name="norm")(merged)
         merged = nn.Dense(
             self.out_dim, dtype=self.dtype, kernel_init=trunc_normal_init(),
             name="linear",
@@ -550,7 +600,7 @@ class PatchEmbed(nn.Module):
         b, h, w, c = x.shape
         feat = x.reshape(b, h * w, c)
         if self.use_norm:
-            feat = _layer_norm_fp32(nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm"), feat)
+            feat = LayerNormFp32(epsilon=1e-5, name="norm")(feat)
 
         ys, xs = jnp.meshgrid(jnp.arange(h), jnp.arange(w), indexing="ij")
         pos = jnp.stack([xs, ys], axis=2).reshape(1, h * w, 2)

@@ -16,7 +16,7 @@ import jax
 import jax.numpy as jnp
 
 from .mixres_common import MLP
-from .layers import _layer_norm_fp32
+from .layers import LayerNormFp32
 
 Dtype = Any
 
@@ -92,9 +92,7 @@ class OracleTeacherBackbone(nn.Module):
         for f in list(bb_out_features)[::-1]:
             pooled.append(outs[f].mean(axis=1))
         vec = jnp.concatenate(pooled, axis=1)
-        vec = _layer_norm_fp32(
-            nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="head_norm"), vec
-        )
+        vec = LayerNormFp32(epsilon=1e-5, name="head_norm")(vec)
         tot = self.backbone_dims[-1] * self.n_scales
         out = MLP(
             hidden_dim=tot, output_dim=self.num_classes, num_layers=3,

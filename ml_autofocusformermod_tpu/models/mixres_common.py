@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .layers import _layer_norm_fp32, trunc_normal_init
+from .layers import LayerNormFp32, trunc_normal_init
 
 Dtype = Any
 
@@ -116,9 +116,7 @@ class MLPBlock(nn.Module):
             name="linear",
         )(x)
         x = nn.gelu(x, approximate=False)
-        x = _layer_norm_fp32(
-            nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm"), x
-        )
+        x = LayerNormFp32(epsilon=1e-5, name="norm")(x)
         return x
 
 
@@ -209,9 +207,7 @@ class OverlapPatchEmbedding(nn.Module):
             )(x, training=training)
         b, h, w, c = x.shape
         x = x.reshape(b, h * w, c)
-        x = _layer_norm_fp32(
-            nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="out_norm"), x
-        )
+        x = LayerNormFp32(epsilon=1e-5, name="out_norm")(x)
         return x
 
 

@@ -31,7 +31,7 @@ from ..ops.knn import knn
 from ..ops.sfc import space_filling_cluster
 from .layers import (
     ClusterTransformerBlock,
-    _layer_norm_fp32,
+    LayerNormFp32,
     rel_pos_features,
     trunc_normal_init,
 )
@@ -271,16 +271,12 @@ class MixResNeighbour(nn.Module):
             name="image_patch_projection",
         )(pix.astype(self.dtype))
         x = nn.gelu(x, approximate=False)
-        x = _layer_norm_fp32(
-            nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="high_res_norm1"), x
-        )
+        x = LayerNormFp32(epsilon=1e-5, name="high_res_norm1")(x)
         x = MLPDeepNorm(
             hidden_features=self.channels, out_features=self.channels,
             dtype=self.dtype, name="high_res_mlp",
         )(x)
-        x = _layer_norm_fp32(
-            nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="high_res_norm2"), x
-        )
+        x = LayerNormFp32(epsilon=1e-5, name="high_res_norm2")(x)
         img_imp = self.param("image_feat_importance", nn.initializers.ones, (1,))
         old_imp = self.param("old_feat_importance", nn.initializers.ones, (1,))
         return old_imp.astype(tokens.dtype) * tokens + img_imp.astype(x.dtype) * x
@@ -310,16 +306,12 @@ class MixResNeighbour(nn.Module):
         pos = jnp.concatenate(poss, axis=1)
         x = jnp.concatenate(projs, axis=1)
         x = nn.gelu(x, approximate=False)
-        x = _layer_norm_fp32(
-            nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="high_res_norm1"), x
-        )
+        x = LayerNormFp32(epsilon=1e-5, name="high_res_norm1")(x)
         x = MLPDeepNorm(
             hidden_features=self.channels, out_features=self.channels,
             dtype=self.dtype, name="high_res_mlp",
         )(x)
-        x = _layer_norm_fp32(
-            nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="high_res_norm2"), x
-        )
+        x = LayerNormFp32(epsilon=1e-5, name="high_res_norm2")(x)
         return feat + x.astype(feat.dtype), pos
 
     def _upsample(self, im, scale, features, features_pos, upsampling_mask,
@@ -428,19 +420,14 @@ class MixResNeighbour(nn.Module):
             x, pos, layout = self._upsample(
                 im, scale, features, features_pos, upsampling_mask, layout
             )
-            x = _layer_norm_fp32(
-                nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="token_norm"), x
-            )
+            x = LayerNormFp32(epsilon=1e-5, name="token_norm")(x)
             if self.channels != self.d_model:
                 x = nn.Dense(
                     self.d_model, dtype=self.dtype,
                     kernel_init=trunc_normal_init(), name="token_projection",
                 )(x)
         else:
-            x = _layer_norm_fp32(
-                nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="token_norm"),
-                features,
-            )
+            x = LayerNormFp32(epsilon=1e-5, name="token_norm")(features,)
             if self.channels != self.d_model:
                 x = nn.Dense(
                     self.d_model, dtype=self.dtype,
@@ -465,7 +452,7 @@ class MixResNeighbour(nn.Module):
             name="layers",
         )(pos, x, h=min_patched[0], w=min_patched[1], deterministic=det)
 
-        norm_out = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm_out")
+        norm_out = LayerNormFp32(epsilon=1e-5, name="norm_out")
         outs: Dict[str, Any] = {}
         rem_f, rem_p = x, pos
         for s in range(scale + 1):
@@ -475,7 +462,7 @@ class MixResNeighbour(nn.Module):
             if cnt == 0:
                 continue
             f_s, p_s, rem_f, rem_p = extract_scale(rem_f, rem_p, s, cnt)
-            outs[f"res{out_idx}"] = _layer_norm_fp32(norm_out, f_s)
+            outs[f"res{out_idx}"] = norm_out(f_s)
             outs[f"res{out_idx}_pos"] = p_s[:, :, 1:]
             outs[f"res{out_idx}_scale"] = p_s[:, :, 0]
             outs[f"res{out_idx}_spatial_shape"] = patched

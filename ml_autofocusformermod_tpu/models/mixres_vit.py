@@ -15,7 +15,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from .layers import DropPath, _layer_norm_fp32, trunc_normal_init
+from .layers import DropPath, LayerNormFp32, trunc_normal_init
 from .mixres_common import (
     OverlapPatchEmbedding,
     scale_grid_positions,
@@ -122,16 +122,14 @@ class Block(nn.Module):
         y = Attention(
             self.heads, self.dropout, dtype=self.dtype, name="attn"
         )(
-            _layer_norm_fp32(
-                nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm1"), x
-            ),
+            LayerNormFp32(epsilon=1e-5, name="norm1")(x),
             deterministic,
         )
         dp = DropPath(self.drop_path, name="drop_path")
         mlp = FeedForward(
             self.mlp_dim, self.dropout, dtype=self.dtype, name="mlp"
         )
-        norm2 = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm2")
+        norm2 = LayerNormFp32(epsilon=1e-5, name="norm2")
 
         use_ls = (
             self.layer_scale is not None
@@ -146,11 +144,11 @@ class Block(nn.Module):
                 "gamma2", nn.initializers.constant(self.layer_scale), (dim,)
             )
             x = x + dp(gamma1.astype(y.dtype) * y, deterministic)
-            z = mlp(_layer_norm_fp32(norm2, x), h, w, deterministic)
+            z = mlp(norm2(x), h, w, deterministic)
             x = x + dp(gamma2.astype(z.dtype) * z, deterministic)
         else:
             x = x + dp(y, deterministic)
-            z = mlp(_layer_norm_fp32(norm2, x), h, w, deterministic)
+            z = mlp(norm2(x), h, w, deterministic)
             x = x + dp(z, deterministic)
         return x
 
@@ -216,10 +214,7 @@ class MixResViT(nn.Module):
             ).astype(x.dtype)
             layout = {scale: pos_np.shape[0]}
         else:
-            features = _layer_norm_fp32(
-                nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="token_norm"),
-                features,
-            )
+            features = LayerNormFp32(epsilon=1e-5, name="token_norm")(features,)
             if self.channels != self.d_model:
                 x = nn.Dense(
                     self.d_model, dtype=self.dtype,
@@ -255,9 +250,7 @@ class MixResViT(nn.Module):
 
         outs: Dict[str, Any] = {}
         name = self.out_features[0]
-        outs[name] = _layer_norm_fp32(
-            nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm_out"), x
-        )
+        outs[name] = LayerNormFp32(epsilon=1e-5, name="norm_out")(x)
         outs[name + "_pos"] = pos[:, :, 1:]
         outs[name + "_spatial_shape"] = patched
         outs[name + "_scale"] = pos[:, :, 0]
