@@ -244,10 +244,13 @@ def _static_compact(static_ncc, static_pos, n, tq, cs, np_, bs=16):
     and cluster ids are precomputed here as (nt, ...) lane-vector tables
     (-1 cluster = padded/out-of-range column, never matches any ncc).
 
-    Returns ``("compact", U, bs, np_pad, starts (nt,U), clc (nt,U*bs),
+    Returns ``("compact", U, bs, np_pad, starts (nt,U), clc (nt,1,U*bs),
     posc (nt,2,U*bs))`` or None when the union is not narrower than the
     padded token axis. ``bs`` = 16 keeps dynamic row slices aligned to
-    the bf16 sublane tile.
+    the bf16 sublane tile. ``clc`` carries a unit sublane axis so its
+    per-tile block shape (1, 1, U*bs) satisfies Mosaic's block rule (the
+    last two dims must divide (8, 128) or equal the array's — a (1, U*bs)
+    block over (nt, U*bs) does not).
     """
     import numpy as np
 
@@ -288,7 +291,7 @@ def _static_compact(static_ncc, static_pos, n, tq, cs, np_, bs=16):
             clc[ti, sl][valid] = rows[valid] // cs
             posc[ti, 0, sl][valid] = pos_np[rows[valid], 0]
             posc[ti, 1, sl][valid] = pos_np[rows[valid], 1]
-    return "compact", u_pad, bs, np_pad, starts, clc, posc
+    return "compact", u_pad, bs, np_pad, starts, clc[:, None, :], posc
 
 
 def _twin_tile(n: int) -> Optional[int]:
@@ -449,7 +452,7 @@ def _unpack_refs(refs, nb, wb, cu=0, cbs=0, scratch_kv=None):
             return posc_ref[0, 0, :], posc_ref[0, 1, :]
 
         return (q_ref, posq_ref, get_kv, get_pos, col0, valids, tail,
-                clc_ref[0, :])
+                clc_ref[0, 0, :])
     if nb:
         off_ref = refs[0]
         q_ref = refs[1]
@@ -886,8 +889,8 @@ def _attention_fwd_impl(q, kv, ncc, pos, pe_kernel, pe_bias, blank_k,
                 pl.BlockSpec((gb, tq, 2),
                              lambda bi, ti, sts: (bi, ti, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, ucs),
-                             lambda bi, ti, sts: (ti, 0),
+                pl.BlockSpec((1, 1, ucs),
+                             lambda bi, ti, sts: (ti, 0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, 2, ucs),
                              lambda bi, ti, sts: (ti, 0, 0),
@@ -1351,8 +1354,8 @@ def _attention_bwd_impl(q, kv, ncc, pos, pe_kernel, pe_bias, blank_k,
                 pl.BlockSpec((gb, tq, 2),
                              lambda bi, ti, sts: (bi, ti, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, ucs),
-                             lambda bi, ti, sts: (ti, 0),
+                pl.BlockSpec((1, 1, ucs),
+                             lambda bi, ti, sts: (ti, 0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, 2, ucs),
                              lambda bi, ti, sts: (ti, 0, 0),
