@@ -41,6 +41,19 @@ def main() -> None:
         use_pallas=True,
         dtype=jnp.bfloat16,
     )
+    # the tunneled chip lease occasionally takes minutes to (re)grant after
+    # another process released it — retry backend init instead of failing
+    # the whole bench on a transient UNAVAILABLE
+    for attempt in range(6):
+        try:
+            jax.devices()
+            break
+        except RuntimeError as e:
+            if attempt == 5:
+                raise
+            print(f"# backend init retry {attempt + 1}: {e}", file=sys.stderr)
+            time.sleep(60)
+
     rng = jax.random.PRNGKey(0)
     images = jax.random.normal(
         jax.random.PRNGKey(1), (BATCH, 224, 224, 3), jnp.float32
