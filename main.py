@@ -138,7 +138,8 @@ def main(config, logger, host, num_hosts):
             logger.warning(f"FLOPs estimate unavailable: {e}")
 
     mesh = pmesh.make_mesh(
-        data=config.TPU.MESH_DATA, model=config.TPU.MESH_MODEL
+        data=config.TPU.MESH_DATA, model=config.TPU.MESH_MODEL,
+        seq=config.TPU.MESH_SEQ,
     )
     if config.DATA.BATCH_SIZE % int(np.prod(mesh.devices.shape)) != 0:
         raise ValueError(
@@ -215,9 +216,10 @@ def main(config, logger, host, num_hosts):
         for batch in val_loader:
             batch = T.pad_batch_to_multiple(batch, n_mesh)
             sharded = pmesh.shard_batch(mesh, batch)
-            out = eval_step(
-                variables["params"], variables["batch_stats"], sharded
-            )
+            with mesh:
+                out = eval_step(
+                    variables["params"], variables["batch_stats"], sharded
+                )
             n = int(out["count"])
             if n == 0:  # batch was pure cross-host padding
                 continue

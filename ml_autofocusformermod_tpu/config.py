@@ -241,6 +241,7 @@ def default_config() -> CfgNode:
     c.TPU.USE_PALLAS = True  # fused Pallas attention kernels on TPU
     c.TPU.MESH_DATA = -1  # data-parallel mesh size; -1 = all devices
     c.TPU.MESH_MODEL = 1  # tensor-parallel mesh axis (parallel/tp.py)
+    c.TPU.MESH_SEQ = 1  # sequence-parallel mesh axis (token-axis sharding)
 
     c.AMP_ENABLE = True
     c.OUTPUT = ""

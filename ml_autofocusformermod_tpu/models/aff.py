@@ -22,6 +22,7 @@ import numpy as np
 from ..ops.cluster_gather import gather_clusters_onehot
 from ..ops.knn import knn
 from ..ops.sfc import grid_cluster, grid_nearest_clusters, space_filling_cluster
+from ..parallel.mesh import shard_tokens
 from .layers import (
     ClusterMerging,
     ClusterTransformerBlock,
@@ -172,6 +173,10 @@ class BasicLayer(nn.Module):
         fused = self.use_pallas and not global_attn
         pe_feat = None if fused else rel_pos_features(rel_pos, R)
 
+        # sequence-parallel layout hint: shard the token axis over the mesh
+        # `seq` axis (no-op without one in context, parallel/mesh.py)
+        feat = shard_tokens(feat)
+
         for i_blk in range(self.depth):
             dp = (
                 self.drop_path[i_blk]
@@ -193,6 +198,7 @@ class BasicLayer(nn.Module):
             )(feat, member_idx, cluster_mask, global_attn, pe_feat,
               deterministic, nearest_cluster=ncc, cluster_size=csize,
               pos=pos, static_ncc=static_ncc, static_pos=static_pos)
+            feat = shard_tokens(feat)
 
         if self.out_dim is not None:
             if member_idx is None:
@@ -222,6 +228,7 @@ class BasicLayer(nn.Module):
                 name="downsample",
             )(pos, feat, member_idx, cluster_mask, learned_prob, stride,
               reserve_num, nearest_cluster=ncc, cluster_size=csize)
+            feat = shard_tokens(feat)
 
         return pos, feat
 

@@ -25,13 +25,14 @@ def build_model(config, upscale_ratios=None):
     model_type = config.MODEL.TYPE
     dtype = _DTYPES[config.TPU.COMPUTE_DTYPE]
     # The fused Pallas attention kernel is a custom call XLA's SPMD
-    # partitioner cannot split over the mesh `model` axis; with tensor
-    # parallelism active, use the XLA einsum path (which propagates the
-    # head-sharded layout from parallel/tp.py cleanly).
+    # partitioner cannot split over the mesh `model`/`seq` axes; with
+    # tensor or sequence parallelism active, use the XLA einsum path
+    # (which propagates the sharded layouts cleanly).
     use_pallas = (
         bool(config.TPU.USE_PALLAS)
         and jax.default_backend() == "tpu"
         and int(config.TPU.MESH_MODEL) <= 1
+        and int(getattr(config.TPU, "MESH_SEQ", 1)) <= 1
     )
 
     if model_type == "aff":

@@ -29,6 +29,7 @@ import jax.numpy as jnp
 from ..ops.cluster_gather import gather_clusters_onehot
 from ..ops.knn import knn
 from ..ops.sfc import space_filling_cluster
+from ..parallel.mesh import shard_tokens
 from .layers import (
     ClusterTransformerBlock,
     LayerNormFp32,
@@ -138,6 +139,9 @@ class MixResBasicLayer(nn.Module):
             rel_pos = jnp.clip(rel_pos, 0, tw - 1)  # mixres_neighbour.py:527
             pe_feat = rel_pos_features(rel_pos, R)
 
+        # sequence-parallel layout hint (no-op without a `seq` mesh axis)
+        feat = shard_tokens(feat)
+
         for i_blk in range(self.depth):
             dp = (
                 self.drop_path[i_blk]
@@ -160,6 +164,7 @@ class MixResBasicLayer(nn.Module):
             )(feat, member_idx, cluster_mask, global_attn, pe_feat,
               deterministic, nearest_cluster=ncc, cluster_size=csize,
               pos=pos)
+            feat = shard_tokens(feat)
 
         pos = jnp.concatenate([pos_scale, pos], axis=2)
         return pos, feat

@@ -15,6 +15,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from ..parallel.mesh import shard_tokens
 from .layers import DropPath, LayerNormFp32, trunc_normal_init
 from .mixres_common import (
     OverlapPatchEmbedding,
@@ -236,6 +237,8 @@ class MixResViT(nn.Module):
             )
 
         dpr = list(self.drop_path_rate)
+        # sequence-parallel layout hint (no-op without a `seq` mesh axis)
+        x = shard_tokens(x)
         for i in range(self.n_layers):
             x = Block(
                 heads=self.n_heads,
@@ -246,6 +249,7 @@ class MixResViT(nn.Module):
                 dtype=self.dtype,
                 name=f"layers_blocks_{i}",
             )(x, patched[0], patched[1], deterministic=det)
+            x = shard_tokens(x)
         x = x[:, self.num_register_tokens:]
 
         outs: Dict[str, Any] = {}
