@@ -43,15 +43,39 @@ def main() -> None:
     )
     # the tunneled chip lease occasionally takes minutes to (re)grant after
     # another process released it — retry backend init instead of failing
-    # the whole bench on a transient UNAVAILABLE
+    # the whole bench on a transient UNAVAILABLE. A wedged lease service can
+    # also make jax.devices() HANG forever (not raise); guard each attempt
+    # with a watchdog thread so the bench fails loudly instead of blocking
+    # the caller indefinitely.
+    import threading
+
+    def _init_backend_once(timeout_s: float) -> str:
+        result = {}
+        done = threading.Event()
+
+        def work():
+            try:
+                jax.devices()
+                result["ok"] = True
+            except Exception as e:  # noqa: BLE001 — report any init failure
+                result["err"] = e
+            done.set()
+
+        t = threading.Thread(target=work, daemon=True)
+        t.start()
+        if not done.wait(timeout_s):
+            return "hang"
+        return "ok" if result.get("ok") else f"err: {result.get('err')}"
+
     for attempt in range(6):
-        try:
-            jax.devices()
+        status = _init_backend_once(timeout_s=300.0)
+        if status == "ok":
             break
-        except RuntimeError as e:
-            if attempt == 5:
-                raise
-            print(f"# backend init retry {attempt + 1}: {e}", file=sys.stderr)
+        print(f"# backend init attempt {attempt + 1}: {status}", file=sys.stderr)
+        if attempt == 5:
+            print("# giving up: TPU backend unavailable", file=sys.stderr)
+            os._exit(1)  # a hung init thread cannot be joined; exit hard
+        if status != "hang":
             time.sleep(60)
 
     rng = jax.random.PRNGKey(0)
