@@ -194,10 +194,16 @@ def main(config, logger, host, num_hosts):
 
     # lay out the tensor-parallel layout over the mesh `model` axis
     # (pure replication when TPU.MESH_MODEL == 1); optimizer moments and
-    # EMA shard along with the params (parallel/tp.py)
-    from ml_autofocusformermod_tpu.parallel import tp as ptp
+    # EMA shard along with the params (parallel/tp.py). TPU.ZERO1
+    # additionally shards moments/EMA over `data` (parallel/zero.py).
+    if config.TPU.ZERO1:
+        from ml_autofocusformermod_tpu.parallel import zero as pzero
 
-    state = ptp.shard_tree(mesh, state)
+        state = pzero.shard_tree(mesh, state)
+    else:
+        from ml_autofocusformermod_tpu.parallel import tp as ptp
+
+        state = ptp.shard_tree(mesh, state)
 
     variables = {"params": state.params, "batch_stats": state.batch_stats}
 

@@ -242,6 +242,7 @@ def default_config() -> CfgNode:
     c.TPU.MESH_DATA = -1  # data-parallel mesh size; -1 = all devices
     c.TPU.MESH_MODEL = 1  # tensor-parallel mesh axis (parallel/tp.py)
     c.TPU.MESH_SEQ = 1  # sequence-parallel mesh axis (token-axis sharding)
+    c.TPU.ZERO1 = False  # shard Adam moments + EMA over `data` (parallel/zero.py)
 
     c.AMP_ENABLE = True
     c.OUTPUT = ""
