@@ -51,6 +51,14 @@ def parse_option():
 def run_all():
     import jax
 
+    # persistent compile cache (first full-model compile through the
+    # remote-compile path takes minutes; reruns are instant)
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     args = parse_option()
 
     # multi-host init (no-op single-host; replaces NCCL init_process_group,
@@ -251,7 +259,11 @@ def main(config, logger, host, num_hosts):
         config=config.to_dict(), enabled=host == 0,
     )
 
-    train_step = jax.jit(T.make_train_step(config, model, tx, schedule))
+    # donate the TrainState: the step's output state reuses its buffers
+    # in place (halves peak optimizer/param HBM during the update)
+    train_step = jax.jit(
+        T.make_train_step(config, model, tx, schedule), donate_argnums=(0,)
+    )
 
     from ml_autofocusformermod_tpu.utils.profiling import StepProfiler
 
@@ -281,7 +293,8 @@ def main(config, logger, host, num_hosts):
                 logger.info(f"Upsampling ratios now {ratios}")
                 model = build_model(config, upscale_ratios=ratios)
                 train_step = jax.jit(
-                    T.make_train_step(config, model, tx, schedule)
+                    T.make_train_step(config, model, tx, schedule),
+                    donate_argnums=(0,),
                 )
                 # the reference mutates ONE shared model, so validation also
                 # sees the current epoch's ratios — rebuild eval to match

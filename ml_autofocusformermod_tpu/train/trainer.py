@@ -53,7 +53,14 @@ def create_train_state(
         params=params,
         batch_stats=batch_stats,
         opt_state=tx.init(params),
-        ema_params=params if config.TRAIN.USE_EMA else None,
+        # distinct buffers, not aliases of params: aliased leaves break
+        # buffer donation (donate_argnums on the train step) with
+        # "attempt to donate the same buffer twice"
+        ema_params=(
+            jax.tree_util.tree_map(jnp.copy, params)
+            if config.TRAIN.USE_EMA
+            else None
+        ),
     )
     return state, tx, schedule
 

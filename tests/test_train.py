@@ -163,3 +163,34 @@ def test_data_parallel_mesh_train_step():
     np.testing.assert_allclose(
         float(metrics["loss"]), float(m2["loss"]), rtol=1e-4
     )
+
+
+def test_train_step_donation_with_ema():
+    """main.py jits the step with donate_argnums=(0,); every TrainState leaf
+    must own its buffer (an EMA tree aliasing params raises 'donated the
+    same buffer twice') and donated inputs must not be reused after the call.
+    """
+    cfg = tiny_config(**{"TRAIN.USE_EMA": True})
+    model = AutoFocusFormer(
+        num_classes=10, embed_dim=(16, 32, 48, 64), depths=(1, 1, 1, 1),
+        num_heads=(2, 2, 4, 4), img_size=56, drop_path_rate=0.0,
+    )
+    rng = jax.random.PRNGKey(0)
+    state, tx, schedule = trainer.create_train_state(
+        cfg, model, rng, jnp.zeros((1, 56, 56, 3)), n_steps_per_epoch=10
+    )
+    step = jax.jit(
+        trainer.make_train_step(cfg, model, tx, schedule), donate_argnums=(0,)
+    )
+    batch = {
+        "image": jax.random.normal(jax.random.PRNGKey(1), (8, 56, 56, 3)),
+        "label": jnp.arange(8) % 10,
+    }
+    for i in range(3):
+        state, metrics = step(state, batch, jax.random.PRNGKey(i))
+        assert bool(metrics["grads_finite"])
+    assert int(state.step) == 3
+    # EMA has drifted from params but tracks them (decay < 1)
+    p = jax.tree_util.tree_leaves(state.params)[0]
+    e = jax.tree_util.tree_leaves(state.ema_params)[0]
+    assert not np.allclose(np.asarray(p), np.asarray(e))
