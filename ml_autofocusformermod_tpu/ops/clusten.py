@@ -42,7 +42,23 @@ def wf_contract(weights: jax.Array, feat_g: jax.Array) -> jax.Array:
     f32 (matching the MXU einsum's accumulator) and casts back.
     ``MLAFF_WF_MODE=einsum`` restores the batched-einsum lowering.
     """
-    if os.environ.get("MLAFF_WF_MODE", "vpu") == "vpu":
+    mode = os.environ.get("MLAFF_WF_MODE", "vpu")
+    if mode == "ic":
+        # per-inner-channel slices: ic (=4) rank-4 multiply+reduce
+        # fusions, each consuming feat_g in its producer's layout. The
+        # rank-5 broadcast of the ``vpu`` mode makes XLA materialize the
+        # gathered features TWICE at stage-1 shapes (a (b, n'*m, c)
+        # producer fusion plus a full relayout copy, ~5.9 ms/iter of the
+        # Small b128 forward profile); rank-4 keeps the gather fusible
+        # into the reduce so the big tensor never reaches HBM.
+        ic = weights.shape[-1]
+        cols = [
+            (weights[..., :, i:i + 1] * feat_g)
+            .sum(axis=-2, dtype=jnp.float32)
+            for i in range(ic)
+        ]
+        return jnp.stack(cols, axis=-2).astype(weights.dtype)
+    if mode == "vpu":
         prod = weights[..., :, :, None] * feat_g[..., :, None, :]
         return prod.sum(axis=-3, dtype=jnp.float32).astype(weights.dtype)
     return jnp.einsum(
