@@ -44,10 +44,25 @@ def main() -> None:
     images = jax.random.normal(
         jax.random.PRNGKey(1), (batch, 224, 224, 3), jnp.float32
     )
-    variables = model.init(
+    # abstract init + host-built leaves: a device model.init would
+    # remote-compile the whole 7-backbone init graph (~9.5 min measured,
+    # see PERF.md); parameter values don't affect throughput timing
+    import numpy as np
+
+    t0 = time.time()
+    var_shapes = jax.eval_shape(
+        lambda r, x: model.init(r, x, training=False),
         {"params": jax.random.PRNGKey(0), "upsample": jax.random.PRNGKey(7)},
-        images[:1], training=False,
+        images[:1],
     )
+    host_rng = np.random.default_rng(0)
+    variables = jax.tree_util.tree_map(
+        lambda s: jnp.asarray(
+            host_rng.standard_normal(s.shape).astype(s.dtype) * 0.02
+        ),
+        var_shapes,
+    )
+    print(f"[init {time.time() - t0:.1f}s host-side]", file=sys.stderr)
 
     @jax.jit
     def fwd_chain(variables, images):
