@@ -82,7 +82,9 @@ def main() -> None:
     images = jax.random.normal(
         jax.random.PRNGKey(1), (BATCH, 224, 224, 3), jnp.float32
     )
-    variables = model.init(rng, images[:1], training=False)
+    from scripts.bench_common import host_init
+
+    variables = host_init(model, rng, images[:1], training=False)
 
     # Chain CHUNK forwards inside one jit so per-dispatch tunnel latency
     # cannot pollute the measurement; perturb the input per iteration so XLA

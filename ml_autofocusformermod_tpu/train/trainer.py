@@ -41,9 +41,13 @@ class TrainState:
 
 def create_train_state(
     config, model, rng: jax.Array, sample_input: jax.Array,
-    n_steps_per_epoch: int = 1000,
+    n_steps_per_epoch: int = 1000, variables: Optional[Any] = None,
 ) -> Tuple[TrainState, optax.GradientTransformation, Callable]:
-    variables = model.init(rng, sample_input, training=False)
+    """``variables`` lets callers supply a pre-built tree (checkpoint
+    import, or host-side abstract init in the benches) instead of running
+    ``model.init`` on the device."""
+    if variables is None:
+        variables = model.init(rng, sample_input, training=False)
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
     schedule = build_scheduler(config, n_steps_per_epoch)

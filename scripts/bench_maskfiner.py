@@ -47,20 +47,13 @@ def main() -> None:
     # abstract init + host-built leaves: a device model.init would
     # remote-compile the whole 7-backbone init graph (~9.5 min measured,
     # see PERF.md); parameter values don't affect throughput timing
-    import numpy as np
+    from bench_common import host_init
 
     t0 = time.time()
-    var_shapes = jax.eval_shape(
-        lambda r, x: model.init(r, x, training=False),
+    variables = host_init(
+        model,
         {"params": jax.random.PRNGKey(0), "upsample": jax.random.PRNGKey(7)},
-        images[:1],
-    )
-    host_rng = np.random.default_rng(0)
-    variables = jax.tree_util.tree_map(
-        lambda s: jnp.asarray(
-            host_rng.standard_normal(s.shape).astype(s.dtype) * 0.02
-        ),
-        var_shapes,
+        images[:1], training=False,
     )
     print(f"[init {time.time() - t0:.1f}s host-side]", file=sys.stderr)
 

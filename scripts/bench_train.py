@@ -64,7 +64,11 @@ def fwd(preset: str) -> None:
     batch = FWD_BATCH.get(preset, BATCH)
     size = config.DATA.IMG_SIZE
     images = jax.random.normal(jax.random.PRNGKey(1), (batch, size, size, 3))
-    variables = model.init(jax.random.PRNGKey(0), images[:1], training=False)
+    from bench_common import host_init
+
+    variables = host_init(
+        model, jax.random.PRNGKey(0), images[:1], training=False
+    )
 
     @jax.jit
     def chain(variables, images):
@@ -105,8 +109,14 @@ def mini_train() -> None:
     cfg, model = _build("mini")
     images = jax.random.normal(jax.random.PRNGKey(1), (BATCH, 224, 224, 3))
     labels = jnp.arange(BATCH) % 1000
+    from bench_common import host_init
+
+    variables = host_init(
+        model, jax.random.PRNGKey(0), images[:1], training=False
+    )
     state, tx, schedule = trainer.create_train_state(
-        cfg, model, jax.random.PRNGKey(0), images[:1], n_steps_per_epoch=1000
+        cfg, model, jax.random.PRNGKey(0), images[:1],
+        n_steps_per_epoch=1000, variables=variables,
     )
     step = trainer.make_train_step(cfg, model, tx, schedule)
 
