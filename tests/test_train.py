@@ -165,6 +165,47 @@ def test_data_parallel_mesh_train_step():
     )
 
 
+def test_train_step_bitwise_deterministic():
+    """SURVEY §5: the reference designs races out of its backward kernels
+    (fastAtomicAdd) but cannot promise run-to-run determinism; here the
+    whole step must be bitwise reproducible (XLA scatter-adds + fixed
+    reduction order), pinned leaf-for-leaf.
+    """
+    cfg = tiny_config()
+    model = AutoFocusFormer(
+        num_classes=10, embed_dim=(16, 32, 48, 64), depths=(1, 1, 1, 1),
+        num_heads=(2, 2, 4, 4), img_size=56, drop_path_rate=0.1,
+    )
+    rng = jax.random.PRNGKey(0)
+    batch = {
+        "image": jax.random.normal(jax.random.PRNGKey(1), (8, 56, 56, 3)),
+        "label": jnp.arange(8) % 10,
+    }
+
+    def run():
+        state, tx, schedule = trainer.create_train_state(
+            cfg, model, rng, jnp.zeros((1, 56, 56, 3)), n_steps_per_epoch=10
+        )
+        step = jax.jit(trainer.make_train_step(cfg, model, tx, schedule))
+        for i in range(2):
+            state, metrics = step(state, batch, jax.random.PRNGKey(7))
+        return state, metrics
+
+    s1, m1 = run()
+    s2, m2 = run()
+    assert float(m1["loss"]) == float(m2["loss"])
+    assert float(m1["grad_norm"]) == float(m2["grad_norm"])
+    mismatches = [
+        p
+        for (p, a), (_, b) in zip(
+            jax.tree_util.tree_leaves_with_path(s1.params),
+            jax.tree_util.tree_leaves_with_path(s2.params),
+        )
+        if not (np.asarray(a) == np.asarray(b)).all()
+    ]
+    assert not mismatches, f"non-deterministic leaves: {mismatches[:5]}"
+
+
 def test_train_step_donation_with_ema():
     """main.py jits the step with donate_argnums=(0,); every TrainState leaf
     must own its buffer (an EMA tree aliasing params raises 'donated the
