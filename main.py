@@ -142,6 +142,11 @@ def main(config, logger, host, num_hosts):
                 f"number of GFLOPs: {cost['flops'] / 1e9:.2f} "
                 f"(XLA cost analysis, fwd per image)"
             )
+            if cost["peak_bytes"] == cost["peak_bytes"]:  # not NaN
+                logger.info(
+                    f"compiled fwd peak device memory: "
+                    f"{cost['peak_bytes'] / 2**20:.1f} MiB"
+                )
         except Exception as e:  # cost analysis is best-effort on some backends
             logger.warning(f"FLOPs estimate unavailable: {e}")
 

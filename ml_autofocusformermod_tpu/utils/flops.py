@@ -39,8 +39,22 @@ def model_complexity(
         cost = cost[0] if cost else {}
     flops = float(cost.get("flops", float("nan"))) / batch
     bytes_accessed = float(cost.get("bytes accessed", float("nan"))) / batch
+    # peak device memory of the compiled program (the reference has no
+    # equivalent; torch reports allocator highwater at runtime instead)
+    peak_bytes = float("nan")
+    try:
+        mem = compiled.memory_analysis()
+        peak_bytes = float(
+            getattr(mem, "temp_size_in_bytes", 0)
+            + getattr(mem, "argument_size_in_bytes", 0)
+            + getattr(mem, "output_size_in_bytes", 0)
+            - getattr(mem, "alias_size_in_bytes", 0)
+        )
+    except Exception:  # noqa: BLE001 — backend-optional API
+        pass
     return {
         "flops": flops,
         "bytes_accessed": bytes_accessed,
+        "peak_bytes": peak_bytes,
         "params": count_params(variables.get("params", variables)),
     }
