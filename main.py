@@ -53,11 +53,9 @@ def run_all():
 
     # persistent compile cache (first full-model compile through the
     # remote-compile path takes minutes; reruns are instant)
-    jax.config.update(
-        "jax_compilation_cache_dir",
-        os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
-    )
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    from ml_autofocusformermod_tpu.utils.cache import enable_compile_cache
+
+    enable_compile_cache()
 
     args = parse_option()
 

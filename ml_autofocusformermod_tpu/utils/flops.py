@@ -44,12 +44,19 @@ def model_complexity(
     peak_bytes = float("nan")
     try:
         mem = compiled.memory_analysis()
-        peak_bytes = float(
-            getattr(mem, "temp_size_in_bytes", 0)
-            + getattr(mem, "argument_size_in_bytes", 0)
-            + getattr(mem, "output_size_in_bytes", 0)
-            - getattr(mem, "alias_size_in_bytes", 0)
-        )
+        sizes = [
+            getattr(mem, k, None)
+            for k in (
+                "temp_size_in_bytes",
+                "argument_size_in_bytes",
+                "output_size_in_bytes",
+            )
+        ]
+        # stay NaN unless the backend really reports the numbers (some
+        # PJRT backends return None / a stub object instead of raising)
+        if all(isinstance(s, (int, float)) for s in sizes):
+            alias = getattr(mem, "alias_size_in_bytes", 0) or 0
+            peak_bytes = float(sum(sizes) - alias)
     except Exception:  # noqa: BLE001 — backend-optional API
         pass
     return {

@@ -68,12 +68,15 @@ def summarize(logdir: str, top: int = 40) -> None:
 
 def run_and_trace(mode: str, logdir: str) -> None:
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from scripts.bench_common import host_init
     from scripts.bench_train import _build
 
     if mode in ("mini_fwd", "small_fwd"):
         _, model = _build("mini" if mode == "mini_fwd" else "small")
         images = jax.random.normal(jax.random.PRNGKey(1), (BATCH, 224, 224, 3))
-        variables = model.init(jax.random.PRNGKey(0), images[:1], training=False)
+        variables = host_init(
+            model, jax.random.PRNGKey(0), images[:1], training=False
+        )
         fwd = jax.jit(lambda v, x: model.apply(v, x, training=False))
         float(fwd(variables, images).sum())  # compile+warm
         float(fwd(variables, images).sum())
@@ -92,8 +95,12 @@ def run_and_trace(mode: str, logdir: str) -> None:
         _, model = _build("mini")
         images = jax.random.normal(jax.random.PRNGKey(1), (BATCH, 224, 224, 3))
         labels = jnp.arange(BATCH) % 1000
+        variables = host_init(
+            model, jax.random.PRNGKey(0), images[:1], training=False
+        )
         state, tx, schedule = trainer.create_train_state(
-            cfg, model, jax.random.PRNGKey(0), images[:1], 1000
+            cfg, model, jax.random.PRNGKey(0), images[:1], 1000,
+            variables=variables,
         )
         step = jax.jit(trainer.make_train_step(cfg, model, tx, schedule))
         batch = {"image": images, "label": labels}

@@ -20,17 +20,23 @@ export JAX_PLATFORMS=axon
 stop() { [ -e .queue_stop ] && echo "=== STOPPED by .queue_stop $(date) ===" && exit 0; }
 
 echo "=== waiting for chip lease $(date) ==="
+CLAIMED=0
 for i in $(seq 1 600); do
   stop
   if timeout 300 python -u -c "
 import jax, jax.numpy as jnp
 x = jnp.ones((128,128)); print('lease OK', float((x@x).sum()))
 " 2>/tmp/claim_err.log; then
+    CLAIMED=1
     break
   fi
   echo "claim attempt $i failed $(date +%H:%M:%S)"
   sleep 120
 done
+if [ "$CLAIMED" != 1 ]; then
+  echo "=== GIVING UP: lease never granted $(date) ==="
+  exit 1
+fi
 
 stop; echo "=== [A1] bench_ln $(date) ==="
 timeout 2700 python scripts/bench_ln.py

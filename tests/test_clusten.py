@@ -115,3 +115,26 @@ def test_dtype_unification():
     k = jnp.ones((1, 1, 4, 8), jnp.float32)
     idx = jnp.zeros((1, 4, 2), jnp.int32)
     assert clusten.clusten_qk(q, k, idx).dtype == jnp.bfloat16
+
+
+@pytest.mark.parametrize("mode", ["ic", "einsum"])
+def test_wf_contract_modes_match_default(rng, monkeypatch, mode):
+    """All MLAFF_WF_MODE lowerings compute the same contraction (fwd+grads);
+    the mode is read per call, so each lowering is exercised directly."""
+    w = rng.standard_normal((B, N_, M, IC)).astype(np.float32)
+    fg = rng.standard_normal((B, N_, M, C)).astype(np.float32)
+
+    def run():
+        out = clusten.wf_contract(jnp.asarray(w), jnp.asarray(fg))
+        gw, gf = jax.grad(
+            lambda a, b: (clusten.wf_contract(a, b) ** 2).mean(),
+            argnums=(0, 1),
+        )(jnp.asarray(w), jnp.asarray(fg))
+        return np.asarray(out), np.asarray(gw), np.asarray(gf)
+
+    monkeypatch.delenv("MLAFF_WF_MODE", raising=False)
+    base = run()
+    monkeypatch.setenv("MLAFF_WF_MODE", mode)
+    got = run()
+    for a, b in zip(base, got):
+        np.testing.assert_allclose(a, b, rtol=2e-5, atol=2e-5)
