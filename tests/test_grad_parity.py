@@ -1,0 +1,217 @@
+"""End-to-end BACKWARD parity vs the reference torch oracle (CPU).
+
+Forward-parity tests (`test_model_parity.py`, `test_mixres_parity.py`)
+cannot see the training-critical semantics that only exist in the
+backward graph:
+
+* the reference's ``no_grad`` clustering/kNN regions (`point_utils.py:41,84`)
+  vs our host-precomputed / ``stop_gradient`` geometry;
+* the *detached* ``learned_prob`` in the merge prior
+  (`aff_transformer.py:307`) vs the *non-detached* copy in the PointConv
+  weights (`:340`) — one stop_gradient on the wrong side silently skews
+  ``prob_net`` training;
+* the MixRes straight-through estimator (`mixres_neighbour.py:739-747`):
+  gradient flows through the *soft* scores while the forward uses hard
+  top-k masks.
+
+These tests run the reference model untouched on CPU (``ref_oracle``),
+backprop a fixed linear functional of the logits, and compare the input
+gradient and EVERY parameter gradient against ``jax.grad`` of our model.
+Torch grads are mapped into our tree by the same `.pth` importer used for
+weights — gradients transform identically to parameters under the
+name/layout mapping (transposed linear, OIHW->HWIO conv).
+"""
+
+import numpy as np
+import pytest
+
+from conftest import requires_reference
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp  # noqa: E402
+
+from ml_autofocusformermod_tpu.ckpt.pth_import import import_torch_state_dict  # noqa: E402
+
+
+def _torch_param_grads(model):
+    """name -> grad (zeros when a parameter is unused by the graph)."""
+    import torch
+
+    return {
+        k: (p.grad if p.grad is not None else torch.zeros_like(p))
+        .detach()
+        .numpy()
+        for k, p in model.named_parameters()
+    }
+
+
+def _assert_tree_close(ours, ref_mapped, atol, rtol):
+    flat_o = jax.tree_util.tree_flatten_with_path(ours)[0]
+    flat_r = jax.tree_util.tree_leaves(ref_mapped)
+    assert len(flat_o) == len(flat_r)
+    for (path, go), gr in zip(flat_o, flat_r):
+        name = "/".join(str(getattr(p, "key", p)) for p in path)
+        np.testing.assert_allclose(
+            np.asarray(go), gr, atol=atol, rtol=rtol,
+            err_msg=f"param grad diverges: {name}",
+        )
+
+
+@requires_reference
+def test_aff_full_model_grad_parity():
+    import torch
+
+    from test_model_parity import TINY, build_pair
+
+    ref_model, model, variables = build_pair(dict(TINY))
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal((2, TINY["img_size"], TINY["img_size"], 3))
+    x = x.astype(np.float32)
+    w = rng.standard_normal((2, TINY["num_classes"])).astype(np.float32)
+
+    # --- reference backward ---
+    x_t = torch.from_numpy(x.transpose(0, 3, 1, 2)).requires_grad_(True)
+    loss_t = (ref_model(x_t) * torch.from_numpy(w)).sum()
+    loss_t.backward()
+    ref_x_grad = x_t.grad.numpy().transpose(0, 2, 3, 1)
+    ref_grads = _torch_param_grads(ref_model)
+
+    # --- ours ---
+    batch_stats = variables["batch_stats"]
+
+    def loss_fn(params, images):
+        logits = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            images, training=False,
+        )
+        return (logits * w).sum()
+
+    with jax.default_matmul_precision("highest"):
+        loss, (g_params, g_x) = jax.value_and_grad(loss_fn, argnums=(0, 1))(
+            variables["params"], jnp.asarray(x)
+        )
+
+    np.testing.assert_allclose(
+        float(loss), float(loss_t.detach()), rtol=1e-4,
+        err_msg="loss value diverges",
+    )
+    np.testing.assert_allclose(
+        np.asarray(g_x), ref_x_grad, atol=2e-3, rtol=1e-2,
+        err_msg="input gradient diverges",
+    )
+
+    # map torch grads through the importer: same name/layout transform
+    template = jax.tree_util.tree_map(np.zeros_like, {"params": g_params})
+    mapped, missing, _ = import_torch_state_dict(template, ref_grads)
+    assert not missing, f"params without a torch grad: {missing}"
+    _assert_tree_close(g_params, mapped["params"], atol=2e-3, rtol=1e-2)
+
+
+@requires_reference
+def test_mixres_upsample_level_grad_parity():
+    """STE split path: grads must flow through the soft scores (and the
+    feature/pixel-fusion chain) exactly as in the reference."""
+    import torch
+
+    from ref_oracle import load_reference_package
+
+    ref_pkg = load_reference_package()
+    torch.manual_seed(1)
+    kw = dict(
+        patch_sizes=[32, 16], n_layers=1, d_model=24, n_heads=2,
+        mlp_ratio=2.0, channels=16, split_ratio=4, n_scales=4,
+        cluster_size=8, nbhd_size=48, min_patch_size=4, upscale_ratio=0.5,
+        keep_old_scale=True, scale=1, add_image_data_to_all=False,
+        first_layer=False, out_features=["res4", "res5"],
+    )
+    ref = ref_pkg.mixres_neighbour.MixResNeighbour(drop_path_rate=[0.0], **kw)
+    ref.eval()
+
+    from test_mixres_parity import _import_level
+    from ml_autofocusformermod_tpu.models.mixres_neighbour import (
+        MixResNeighbour,
+    )
+
+    ours = MixResNeighbour(
+        drop_path_rate=(0.0,),
+        **{k: tuple(v) if isinstance(v, list) else v for k, v in kw.items()},
+        dtype=jnp.float32,
+    )
+
+    rng = np.random.default_rng(4)
+    b, n0 = 2, 4
+    im = rng.standard_normal((b, 64, 64, 3)).astype(np.float32)
+    feat = rng.standard_normal((b, n0, 16)).astype(np.float32)
+    xs, ys = np.meshgrid([0, 8], [0, 8], indexing="xy")
+    pos2 = np.stack([xs, ys], 2).reshape(-1, 2)
+    pos = np.concatenate(
+        [np.zeros((n0, 1)), pos2], axis=1
+    )[None].repeat(b, 0).astype(np.float32)
+    mask = rng.standard_normal((b, n0)).astype(np.float32)
+    layout = {0: n0}
+
+    variables = _import_level(
+        ours, ref,
+        (jnp.asarray(im), 1, jnp.asarray(feat), jnp.asarray(pos),
+         jnp.asarray(mask), layout),
+    )
+
+    w4 = rng.standard_normal((1,)).astype(np.float32)[0]
+    w5 = rng.standard_normal((1,)).astype(np.float32)[0]
+
+    # --- reference backward (loss over both emitted scales) ---
+    im_t = torch.from_numpy(im.transpose(0, 3, 1, 2)).requires_grad_(True)
+    feat_t = torch.from_numpy(feat).requires_grad_(True)
+    mask_t = torch.from_numpy(mask).requires_grad_(True)
+    ref_out = ref(im_t, 1, feat_t, torch.from_numpy(pos), mask_t)
+    loss_t = (
+        float(w4) * ref_out["res4"].square().sum()
+        + float(w5) * ref_out["res5"].square().sum()
+    )
+    loss_t.backward()
+    ref_grads = _torch_param_grads(ref)
+
+    # --- ours ---
+    def loss_fn(params, images, feats, masks):
+        out, _ = ours.apply(
+            {"params": params, **{
+                k: v for k, v in variables.items() if k != "params"
+            }},
+            images, 1, feats, jnp.asarray(pos), masks, layout,
+            training=False,
+        )
+        return (
+            w4 * jnp.square(out["res4"]).sum()
+            + w5 * jnp.square(out["res5"]).sum()
+        )
+
+    with jax.default_matmul_precision("highest"):
+        loss, grads = jax.value_and_grad(loss_fn, argnums=(0, 1, 2, 3))(
+            variables["params"], jnp.asarray(im), jnp.asarray(feat),
+            jnp.asarray(mask),
+        )
+    g_params, g_im, g_feat, g_mask = grads
+
+    np.testing.assert_allclose(
+        float(loss), float(loss_t.detach()), rtol=1e-4,
+        err_msg="loss value diverges",
+    )
+    np.testing.assert_allclose(
+        np.asarray(g_feat), feat_t.grad.numpy(), atol=2e-3, rtol=1e-2,
+        err_msg="input-feature gradient diverges",
+    )
+    # STE: the split decision's gradient reaches the upsampling mask
+    np.testing.assert_allclose(
+        np.asarray(g_mask), mask_t.grad.numpy(), atol=2e-3, rtol=1e-2,
+        err_msg="upsampling-mask (STE) gradient diverges",
+    )
+    assert np.abs(np.asarray(g_mask)).max() > 0, "STE gradient vanished"
+    np.testing.assert_allclose(
+        np.asarray(g_im), im_t.grad.numpy().transpose(0, 2, 3, 1),
+        atol=2e-3, rtol=1e-2, err_msg="image gradient diverges",
+    )
+
+    template = jax.tree_util.tree_map(np.zeros_like, {"params": g_params})
+    mapped, missing, _ = import_torch_state_dict(template, ref_grads)
+    assert not missing, f"params without a torch grad: {missing}"
+    _assert_tree_close(g_params, mapped["params"], atol=2e-3, rtol=1e-2)
