@@ -243,6 +243,10 @@ def default_config() -> CfgNode:
     c.TPU.MESH_MODEL = 1  # tensor-parallel mesh axis (parallel/tp.py)
     c.TPU.MESH_SEQ = 1  # sequence-parallel mesh axis (token-axis sharding)
     c.TPU.ZERO1 = False  # shard Adam moments + EMA over `data` (parallel/zero.py)
+    # rematerialize attention blocks in backward to cut activation memory:
+    # '' = off, 'blocks' = full per-block remat, 'dots' = keep matmul
+    # outputs, recompute elementwise interior (models/layers.py::remat_wrap)
+    c.TPU.REMAT = ""
 
     c.AMP_ENABLE = True
     c.OUTPUT = ""

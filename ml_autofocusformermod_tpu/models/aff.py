@@ -26,9 +26,11 @@ from ..parallel.mesh import shard_tokens
 from .layers import (
     ClusterMerging,
     ClusterTransformerBlock,
+    HashableArray,
     PatchEmbed,
     LayerNormFp32,
     rel_pos_features,
+    remat_wrap,
     trunc_normal_init,
 )
 
@@ -57,6 +59,7 @@ class BasicLayer(nn.Module):
     layer_scale: float = 0.0
     rel_pos_width: int = 55
     use_pallas: bool = False
+    remat: str = ""  # '' | 'blocks' | 'dots' (models/layers.py::remat_wrap)
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -177,13 +180,22 @@ class BasicLayer(nn.Module):
         # `seq` axis (no-op without one in context, parallel/mesh.py)
         feat = shard_tokens(feat)
 
+        # __call__ args with self at 0: 4=global_attn, 6=deterministic,
+        # 8=cluster_size, 10=static_ncc, 11=static_pos (hashable-wrapped)
+        block_cls = remat_wrap(
+            ClusterTransformerBlock, self.remat, (4, 6, 8, 10, 11)
+        )
+        if self.remat:
+            static_ncc = None if static_ncc is None else HashableArray(static_ncc)
+            static_pos = None if static_pos is None else HashableArray(static_pos)
+
         for i_blk in range(self.depth):
             dp = (
                 self.drop_path[i_blk]
                 if isinstance(self.drop_path, (list, tuple))
                 else self.drop_path
             )
-            feat = ClusterTransformerBlock(
+            feat = block_cls(
                 dim=self.dim,
                 num_heads=self.num_heads,
                 mlp_ratio=self.mlp_ratio,
@@ -196,8 +208,7 @@ class BasicLayer(nn.Module):
                 dtype=self.dtype,
                 name=f"blocks_{i_blk}",
             )(feat, member_idx, cluster_mask, global_attn, pe_feat,
-              deterministic, nearest_cluster=ncc, cluster_size=csize,
-              pos=pos, static_ncc=static_ncc, static_pos=static_pos)
+              deterministic, ncc, csize, pos, static_ncc, static_pos)
             feat = shard_tokens(feat)
 
         if self.out_dim is not None:
@@ -253,6 +264,7 @@ class AutoFocusFormer(nn.Module):
     layer_scale: float = 0.0
     img_size: int = 224
     use_pallas: bool = False
+    remat: str = ""  # rematerialize blocks in backward (layers.py::remat_wrap)
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -298,6 +310,7 @@ class AutoFocusFormer(nn.Module):
                 layer_scale=self.layer_scale,
                 rel_pos_width=R,
                 use_pallas=self.use_pallas,
+                remat=self.remat,
                 dtype=self.dtype,
                 name=f"layers_{i_layer}",
             )(pos, feat, h=h, w=w, on_grid=i_layer == 0,

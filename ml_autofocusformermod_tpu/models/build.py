@@ -54,6 +54,7 @@ def build_model(config, upscale_ratios=None):
             layer_scale=aff.LAYER_SCALE,
             img_size=config.DATA.IMG_SIZE,
             use_pallas=use_pallas,
+            remat=str(config.TPU.REMAT),
             dtype=dtype,
         )
     if model_type == "maskfinerOT":

@@ -29,6 +29,68 @@ from ..ops.cluster_gather import gather_clusters_onehot, gather_rows
 from ..ops.clusten import clusten_av, clusten_qk, clusten_wf, wf_contract
 from ..ops.knn import knn, nearest_other_distance
 
+
+class HashableArray:
+    """Immutable, hashable numpy-array wrapper.
+
+    ``jax.checkpoint``'s ``static_argnums`` require hashable values, but the
+    on-grid stages thread host-constant numpy geometry (``static_ncc`` /
+    ``static_pos``) through the block call. Wrapping them keeps the arrays
+    static under :func:`remat_wrap` instead of being traced (which would
+    break the Pallas kernels' host-side window planning).
+    """
+
+    __slots__ = ("arr", "_key")
+
+    def __init__(self, arr):
+        self.arr = np.asarray(arr)
+        self.arr.setflags(write=False)
+        self._key = (self.arr.shape, str(self.arr.dtype), self.arr.tobytes())
+
+    def __array__(self, dtype=None, copy=None):
+        return self.arr if dtype is None else self.arr.astype(dtype)
+
+    @property
+    def shape(self):
+        return self.arr.shape
+
+    def __hash__(self):
+        return hash(self._key)
+
+    def __eq__(self, other):
+        return isinstance(other, HashableArray) and self._key == other._key
+
+
+def _unwrap_static(x):
+    return x.arr if isinstance(x, HashableArray) else x
+
+
+def remat_wrap(block_cls, mode: str, static_argnums: Tuple[int, ...]):
+    """Gate a transformer-block class behind ``jax.checkpoint`` (lifted).
+
+    ``mode``: ``""`` — off (returns the class unchanged); ``"blocks"`` —
+    full per-block rematerialization (backward recomputes the block forward
+    from its inputs, so no block-interior activation is kept live across
+    the loss); ``"dots"`` — same region but with
+    ``dots_with_no_batch_dims_saveable``, which keeps matmul outputs and
+    recomputes only the cheap elementwise interior (less memory saved,
+    less recompute). ``static_argnums`` index the block's ``__call__`` with
+    ``self`` at 0 and must cover every non-array argument.
+    """
+    if not mode:
+        return block_cls
+    policy = None
+    if mode == "dots":
+        policy = jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+    elif mode != "blocks":
+        raise ValueError(f"Unknown remat mode: {mode!r} (use '', 'blocks', 'dots')")
+    return nn.remat(
+        block_cls,
+        prevent_cse=True,
+        policy=policy,
+        static_argnums=static_argnums,
+    )
+
 Dtype = Any
 
 POS_DIM = 2
@@ -366,6 +428,9 @@ class ClusterTransformerBlock(nn.Module):
         static_ncc=None,
         static_pos=None,
     ) -> jax.Array:
+        # host-constant geometry may arrive wrapped for remat staticness
+        static_ncc = _unwrap_static(static_ncc)
+        static_pos = _unwrap_static(static_pos)
         shortcut = feat
         x = LayerNormFp32(epsilon=1e-5, name="norm1")(feat)
         x = ClusterAttention(

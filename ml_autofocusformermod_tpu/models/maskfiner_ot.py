@@ -131,6 +131,7 @@ def build_oracle_teacher(
             min_patch_size=mr.PATCH_SIZES[-1],
             upscale_ratio=ratios[i],
             out_features=tuple(mr.OUT_FEATURES[-(i + 1):]),
+            remat=str(config.TPU.REMAT),
             dtype=dtype,
         )
         if name == "MixResViT":

@@ -245,6 +245,7 @@ def build_up_down(config, dtype, upscale_ratios=None) -> UpDownBackbone:
             out_features=out_features,
             first_layer=first_layer,
             layer_scale=mr.LAYER_SCALE,
+            remat=str(config.TPU.REMAT),
             dtype=dtype,
         )
         if name == "MixResViT":

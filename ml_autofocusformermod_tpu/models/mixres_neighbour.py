@@ -34,6 +34,7 @@ from .layers import (
     ClusterTransformerBlock,
     LayerNormFp32,
     rel_pos_features,
+    remat_wrap,
     trunc_normal_init,
 )
 from .mixres_common import (
@@ -66,6 +67,7 @@ class MixResBasicLayer(nn.Module):
     drop_path: Sequence[float] = ()
     layer_scale: float = 0.0
     use_pallas: bool = False
+    remat: str = ""  # '' | 'blocks' | 'dots' (models/layers.py::remat_wrap)
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -142,13 +144,19 @@ class MixResBasicLayer(nn.Module):
         # sequence-parallel layout hint (no-op without a `seq` mesh axis)
         feat = shard_tokens(feat)
 
+        # __call__ args with self at 0: 4=global_attn, 6=deterministic,
+        # 8=cluster_size (no host-constant statics on this path)
+        block_cls = remat_wrap(
+            ClusterTransformerBlock, self.remat, (4, 6, 8)
+        )
+
         for i_blk in range(self.depth):
             dp = (
                 self.drop_path[i_blk]
                 if isinstance(self.drop_path, (list, tuple))
                 else self.drop_path
             )
-            feat = ClusterTransformerBlock(
+            feat = block_cls(
                 dim=self.dim,
                 num_heads=self.num_heads,
                 mlp_ratio=self.mlp_ratio,
@@ -162,8 +170,7 @@ class MixResBasicLayer(nn.Module):
                 dtype=self.dtype,
                 name=f"blocks_{i_blk}",
             )(feat, member_idx, cluster_mask, global_attn, pe_feat,
-              deterministic, nearest_cluster=ncc, cluster_size=csize,
-              pos=pos)
+              deterministic, ncc, csize, pos)
             feat = shard_tokens(feat)
 
         pos = jnp.concatenate([pos_scale, pos], axis=2)
@@ -195,6 +202,7 @@ class MixResNeighbour(nn.Module):
     first_layer: bool = False
     out_features: Sequence[str] = ("res5",)
     use_pallas: bool = False
+    remat: str = ""  # rematerialize blocks in backward (layers.py::remat_wrap)
     dtype: Dtype = jnp.float32
 
     @property
@@ -453,6 +461,7 @@ class MixResNeighbour(nn.Module):
             drop_path=tuple(self.drop_path_rate),
             layer_scale=self.layer_scale,
             use_pallas=self.use_pallas,
+            remat=self.remat,
             dtype=self.dtype,
             name="layers",
         )(pos, x, h=min_patched[0], w=min_patched[1], deterministic=det)

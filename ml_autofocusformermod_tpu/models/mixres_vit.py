@@ -16,7 +16,7 @@ import jax
 import jax.numpy as jnp
 
 from ..parallel.mesh import shard_tokens
-from .layers import DropPath, LayerNormFp32, trunc_normal_init
+from .layers import DropPath, LayerNormFp32, remat_wrap, trunc_normal_init
 from .mixres_common import (
     OverlapPatchEmbedding,
     scale_grid_positions,
@@ -178,6 +178,7 @@ class MixResViT(nn.Module):
     layer_scale: float = 0.0
     num_register_tokens: int = 0
     out_features: Sequence[str] = ("res5",)
+    remat: str = ""  # rematerialize blocks in backward (layers.py::remat_wrap)
     dtype: Dtype = jnp.float32
 
     @property
@@ -239,8 +240,10 @@ class MixResViT(nn.Module):
         dpr = list(self.drop_path_rate)
         # sequence-parallel layout hint (no-op without a `seq` mesh axis)
         x = shard_tokens(x)
+        # __call__ args with self at 0: 2=h, 3=w, 4=deterministic
+        block_cls = remat_wrap(Block, self.remat, (2, 3, 4))
         for i in range(self.n_layers):
-            x = Block(
+            x = block_cls(
                 heads=self.n_heads,
                 mlp_dim=int(self.d_model * self.mlp_ratio),
                 dropout=self.dropout,
@@ -248,7 +251,7 @@ class MixResViT(nn.Module):
                 layer_scale=self.layer_scale,
                 dtype=self.dtype,
                 name=f"layers_blocks_{i}",
-            )(x, patched[0], patched[1], deterministic=det)
+            )(x, patched[0], patched[1], det)
             x = shard_tokens(x)
         x = x[:, self.num_register_tokens:]
 
