@@ -25,7 +25,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 jax.config.update("jax_compilation_cache_dir", os.path.join(REPO, ".jax_cache"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-BATCH = 128
+BATCH = int(os.environ.get("MLAFF_BATCH", "128"))
 CHUNK = 10
 
 # Reference's published single-V100 FPS (README.md:46-51). The base 22kto1k
@@ -55,6 +55,11 @@ def _build(preset: str):
     config = load_config(cfg_path)
     config.defrost()
     config.TPU.COMPUTE_DTYPE = "bfloat16"
+    # ad-hoc A/B overrides without touching the preset yamls, e.g.
+    #   MLAFF_BENCH_OPTS="TPU.REMAT blocks" python scripts/bench_train.py ...
+    opts = os.environ.get("MLAFF_BENCH_OPTS", "").split()
+    if opts:
+        config.merge_from_list(opts)
     config.freeze()
     return config, build_model(config)
 
@@ -120,8 +125,7 @@ def mini_train() -> None:
     )
     step = trainer.make_train_step(cfg, model, tx, schedule)
 
-    @jax.jit
-    def chain(state, images, labels):
+    def chain_fn(state, images, labels):
         loss = 0.0
         for i in range(CHUNK):
             batch = {"image": images + jnp.float32(i) * 1e-6, "label": labels}
@@ -129,12 +133,21 @@ def mini_train() -> None:
             loss = loss + metrics["loss"]
         return state, loss
 
+    chain = jax.jit(chain_fn).lower(state, images, labels).compile()
+    # compiled temp (activation/workspace) memory — the number TPU.REMAT
+    # trades FLOPs against; /CHUNK since the chain holds CHUNK steps
+    temp = getattr(chain.memory_analysis(), "temp_size_in_bytes", None)
+    if isinstance(temp, (int, float)):
+        print(json.dumps({
+            "metric": "aff_mini_224_train_temp_bytes",
+            "value": int(temp), "unit": "bytes", "vs_baseline": None,
+        }))
+
     def run(state):
         new_state, loss = chain(state, images, labels)
         float(loss)
         return new_state
 
-    state = run(state)  # compile
     state = run(state)  # warm
     t1 = time.time()
     reps = 3

@@ -66,4 +66,10 @@ stop; echo "=== [F] fwd base_22kto1k_384 $(date) ==="
 timeout 7200 python scripts/bench_train.py fwd base_22kto1k_384
 stop; echo "=== [G] maskfiner_ud $(date) ==="
 timeout 4500 python scripts/bench_maskfiner.py 64
+stop; echo "=== [H1] mini_train REMAT=blocks $(date) ==="
+MLAFF_BENCH_OPTS="TPU.REMAT blocks" timeout 5400 python scripts/bench_train.py mini_train
+stop; echo "=== [H2] mini_train REMAT=dots $(date) ==="
+MLAFF_BENCH_OPTS="TPU.REMAT dots" timeout 5400 python scripts/bench_train.py mini_train
+stop; echo "=== [H3] mini_train b512 REMAT=blocks (capacity) $(date) ==="
+MLAFF_BATCH=512 MLAFF_BENCH_OPTS="TPU.REMAT blocks" timeout 5400 python scripts/bench_train.py mini_train
 echo "=== queue_master done $(date) ==="
