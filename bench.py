@@ -90,19 +90,43 @@ def main() -> None:
     # cannot pollute the measurement; perturb the input per iteration so XLA
     # cannot CSE the repeated pure calls. Completion is forced via a scalar
     # host readback (block_until_ready is unreliable through tunneled PJRT).
+    # MLAFF_CHAIN=fori compiles the chain as a fori_loop (one body compile
+    # instead of CHUNK inlined model copies — ~CHUNK x cheaper XLA compile);
+    # unroll stays the default until the on-chip A/B pins both img/s equal.
     CHUNK = 10
 
-    @jax.jit
-    def fwd_chain(variables, images):
-        acc = 0.0
-        for i in range(CHUNK):
-            logits = model.apply(
-                variables, images + jnp.float32(i) * 1e-6, training=False
-            )
-            acc = acc + logits.astype(jnp.float32).sum()
-        return acc
+    if os.environ.get("MLAFF_CHAIN", "unroll") == "fori":
 
+        @jax.jit
+        def fwd_chain(variables, images):
+            def body(i, acc):
+                logits = model.apply(
+                    variables, images + i.astype(jnp.float32) * 1e-6,
+                    training=False,
+                )
+                return acc + logits.astype(jnp.float32).sum()
+
+            return jax.lax.fori_loop(0, CHUNK, body, jnp.float32(0.0))
+
+    else:
+
+        @jax.jit
+        def fwd_chain(variables, images):
+            acc = 0.0
+            for i in range(CHUNK):
+                logits = model.apply(
+                    variables, images + jnp.float32(i) * 1e-6, training=False
+                )
+                acc = acc + logits.astype(jnp.float32).sum()
+            return acc
+
+    t0 = time.time()
     float(fwd_chain(variables, images))  # compile
+    print(
+        f"# compile {time.time() - t0:.1f}s "
+        f"chain={os.environ.get('MLAFF_CHAIN', 'unroll')}",
+        file=sys.stderr,
+    )
     float(fwd_chain(variables, images))  # warm
     t1 = time.time()
     reps = 3

@@ -75,15 +75,30 @@ def fwd(preset: str) -> None:
         model, jax.random.PRNGKey(0), images[:1], training=False
     )
 
-    @jax.jit
-    def chain(variables, images):
-        acc = 0.0
-        for i in range(CHUNK):
-            logits = model.apply(
-                variables, images + jnp.float32(i) * 1e-6, training=False
-            )
-            acc = acc + logits.astype(jnp.float32).sum()
-        return acc
+    if os.environ.get("MLAFF_CHAIN", "unroll") == "fori":
+
+        @jax.jit
+        def chain(variables, images):
+            def body(i, acc):
+                logits = model.apply(
+                    variables, images + i.astype(jnp.float32) * 1e-6,
+                    training=False,
+                )
+                return acc + logits.astype(jnp.float32).sum()
+
+            return jax.lax.fori_loop(0, CHUNK, body, jnp.float32(0.0))
+
+    else:
+
+        @jax.jit
+        def chain(variables, images):
+            acc = 0.0
+            for i in range(CHUNK):
+                logits = model.apply(
+                    variables, images + jnp.float32(i) * 1e-6, training=False
+                )
+                acc = acc + logits.astype(jnp.float32).sum()
+            return acc
 
     sec = _timed(chain, variables, images)
     fps = CHUNK * batch / sec
@@ -125,15 +140,43 @@ def mini_train() -> None:
     )
     step = trainer.make_train_step(cfg, model, tx, schedule)
 
-    def chain_fn(state, images, labels):
-        loss = 0.0
-        for i in range(CHUNK):
-            batch = {"image": images + jnp.float32(i) * 1e-6, "label": labels}
-            state, metrics = step(state, batch, jax.random.PRNGKey(i))
-            loss = loss + metrics["loss"]
-        return state, loss
+    if os.environ.get("MLAFF_CHAIN", "unroll") == "fori":
 
+        def chain_fn(state, images, labels):
+            def body(i, carry):
+                state, loss = carry
+                batch = {
+                    "image": images + i.astype(jnp.float32) * 1e-6,
+                    "label": labels,
+                }
+                state, metrics = step(
+                    state, batch, jax.random.fold_in(jax.random.PRNGKey(0), i)
+                )
+                return (state, loss + metrics["loss"].astype(jnp.float32))
+
+            return jax.lax.fori_loop(
+                0, CHUNK, body, (state, jnp.float32(0.0))
+            )
+
+    else:
+
+        def chain_fn(state, images, labels):
+            loss = 0.0
+            for i in range(CHUNK):
+                batch = {
+                    "image": images + jnp.float32(i) * 1e-6, "label": labels,
+                }
+                state, metrics = step(state, batch, jax.random.PRNGKey(i))
+                loss = loss + metrics["loss"]
+            return state, loss
+
+    t0 = time.time()
     chain = jax.jit(chain_fn).lower(state, images, labels).compile()
+    print(
+        f"# compile {time.time() - t0:.1f}s "
+        f"chain={os.environ.get('MLAFF_CHAIN', 'unroll')}",
+        file=sys.stderr,
+    )
     # compiled temp (activation/workspace) memory — the number TPU.REMAT
     # trades FLOPs against; /CHUNK since the chain holds CHUNK steps
     temp = getattr(chain.memory_analysis(), "temp_size_in_bytes", None)

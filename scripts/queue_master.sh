@@ -38,6 +38,8 @@ if [ "$CLAIMED" != 1 ]; then
   exit 1
 fi
 
+stop; echo "=== [A0] bench.py MLAFF_CHAIN=fori (compile-cost + protocol A/B vs [A2]) $(date) ==="
+MLAFF_CHAIN=fori timeout 3500 python bench.py
 stop; echo "=== [A1] bench_ln $(date) ==="
 timeout 2700 python scripts/bench_ln.py
 stop; echo "=== [A2] bench.py MLAFF_LN=dot $(date) ==="
