@@ -68,6 +68,8 @@ stop; echo "=== [F] fwd base_22kto1k_384 $(date) ==="
 timeout 7200 python scripts/bench_train.py fwd base_22kto1k_384
 stop; echo "=== [G] maskfiner_ud $(date) ==="
 timeout 4500 python scripts/bench_maskfiner.py 64
+stop; echo "=== [G2] maskfiner_ud train b32 (fori chain) $(date) ==="
+MLAFF_CHAIN=fori timeout 7200 python scripts/bench_maskfiner.py 32 train
 stop; echo "=== [H1] mini_train REMAT=blocks $(date) ==="
 MLAFF_BENCH_OPTS="TPU.REMAT blocks" timeout 5400 python scripts/bench_train.py mini_train
 stop; echo "=== [H2] mini_train REMAT=dots $(date) ==="
