@@ -522,26 +522,33 @@ def _fwd_kernel(*refs, h: int, cs: int, n_valid: int, rel_width: int,
     c_ = c // h
     prec = jax.lax.Precision.HIGHEST if hiprec else None
 
-    def head_bias(hi, dx, dy, d2, inv):
+    def head_bias(hi, dx, dy, dist, sinp, cosp):
+        # 5 madds over the table features (dx, dy, dist, sin, cos) — the
+        # inv-folded planes are computed ONCE per geometry (want_feat) and
+        # shared by every head, instead of re-folding *inv per head
         w0 = wpe_ref[0, hi].astype(jnp.float32)
         w1 = wpe_ref[1, hi].astype(jnp.float32)
         w2 = wpe_ref[2, hi].astype(jnp.float32)
         w3 = wpe_ref[3, hi].astype(jnp.float32)
         w4 = wpe_ref[4, hi].astype(jnp.float32)
-        return (w0 * dx + w1 * dy + (w2 * d2 + w3 * dy + w4 * dx) * inv
+        return (w0 * dx + w1 * dy + w2 * dist + w3 * sinp + w4 * cosp
                 + bpe_ref[hi])
 
-    def band_geometry(bi, j, want_feat=False):
+    def band_geometry(bi, j):
         pxk, pyk = get_pos(j, bi)
         g = _geometry(
             posq_ref, pxk, pyk, ncc_ref, bi, tq,
             wb, col0(j, bi), cs, n_valid,
-            rel_width, clamp_hi, nnc, want_feat=want_feat,
+            rel_width, clamp_hi, nnc, want_feat=True,
             col_cluster=col_cluster,
         )
         if valids[j] is not None:
             g = g[:4] + (g[4] & valids[j],) + g[5:]
         return g
+
+    def bias_planes(g):
+        return [head_bias(hi, g[0], g[1], g[5], g[6], g[7])
+                for hi in range(h)]
 
     # batch-invariant path (on-grid stage): pos/ncc are identical for every
     # image of the instance, so geometry, membership and the per-head bias
@@ -551,9 +558,10 @@ def _fwd_kernel(*refs, h: int, cs: int, n_valid: int, rel_width: int,
     # becomes free — exp(x + NEG_INF - mx) underflows to exactly 0.0.
     if batch_inv:
         geos = [band_geometry(0, j) for j in range(nbands)]
+        per_geo = [bias_planes(g) for g in geos]  # [band][head]
         biases = [
-            [jnp.where(g[4], head_bias(hi, g[0], g[1], g[2], g[3]), NEG_INF)
-             for g in geos]
+            [jnp.where(g[4], pg[hi], NEG_INF)
+             for g, pg in zip(geos, per_geo)]
             for hi in range(h)
         ]
 
@@ -574,9 +582,11 @@ def _fwd_kernel(*refs, h: int, cs: int, n_valid: int, rel_width: int,
                 if batch_inv:
                     lg = lg + biases[hi][j]
                 else:
-                    dx, dy, d2, inv, member = geos[j]
+                    g = geos[j]
                     lg = jnp.where(
-                        member, lg + head_bias(hi, dx, dy, d2, inv), NEG_INF
+                        g[4],
+                        lg + head_bias(hi, g[0], g[1], g[5], g[6], g[7]),
+                        NEG_INF,
                     )
                 logits.append(lg)
 
@@ -657,6 +667,10 @@ def _fwd_kernel_stacked(q_ref, kv_ref, posq_ref, posk_ref, ncc_ref,
         dy = jnp.clip(dy + R, 0, clamp_hi) - R
     d2 = dx * dx + dy * dy
     inv = jnp.where(d2 > 0, jax.lax.rsqrt(jnp.where(d2 > 0, d2, 1.0)), 0.0)
+    # inv-folded feature planes shared by every head (5-madd bias chain)
+    dist = d2 * inv
+    sinp = dy * inv
+    cosp = dx * inv
 
     col_idx = jax.lax.broadcasted_iota(jnp.int32, (G, np_), 1)
     cc = col_idx // cs
@@ -671,8 +685,8 @@ def _fwd_kernel_stacked(q_ref, kv_ref, posq_ref, posk_ref, ncc_ref,
         bias = jnp.where(
             member,
             wpe_ref[0, hi] * dx + wpe_ref[1, hi] * dy
-            + (wpe_ref[2, hi] * d2 + wpe_ref[3, hi] * dy
-               + wpe_ref[4, hi] * dx) * inv
+            + wpe_ref[2, hi] * dist + wpe_ref[3, hi] * sinp
+            + wpe_ref[4, hi] * cosp
             + bpe_ref[hi],
             NEG_INF,
         )
@@ -1074,11 +1088,13 @@ def _bwd_kernel(*refs, h: int, cs: int, n_valid: int, rel_width: int,
     lane_i = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
     dpe_tile = jnp.zeros((8, 128), jnp.float32)
 
-    def head_bias(hi, dx, dy, d2, inv):
+    def head_bias(hi, dx, dy, dist, sinp, cosp):
+        # 5 madds over the table features; dist/sin/cos already exist for
+        # the d_pe accumulation (want_feat=True) — shared across heads
         return (
             wpe_ref[0, hi] * dx + wpe_ref[1, hi] * dy
-            + (wpe_ref[2, hi] * d2 + wpe_ref[3, hi] * dy
-               + wpe_ref[4, hi] * dx) * inv
+            + wpe_ref[2, hi] * dist + wpe_ref[3, hi] * sinp
+            + wpe_ref[4, hi] * cosp
             + bpe_ref[hi]
         )
 
@@ -1099,7 +1115,8 @@ def _bwd_kernel(*refs, h: int, cs: int, n_valid: int, rel_width: int,
     if batch_inv:
         geos = [band_geometry(0, j) for j in range(nbands)]
         biases = [
-            [jnp.where(g[4], head_bias(hi, g[0], g[1], g[2], g[3]), NEG_INF)
+            [jnp.where(
+                g[4], head_bias(hi, g[0], g[1], g[5], g[6], g[7]), NEG_INF)
              for g in geos]
             for hi in range(h)
         ]
@@ -1127,7 +1144,8 @@ def _bwd_kernel(*refs, h: int, cs: int, n_valid: int, rel_width: int,
                 else:
                     g = geos[j]
                     lg = jnp.where(
-                        g[4], lg + head_bias(hi, g[0], g[1], g[2], g[3]),
+                        g[4],
+                        lg + head_bias(hi, g[0], g[1], g[5], g[6], g[7]),
                         NEG_INF,
                     )
                 logits.append(lg)

@@ -182,7 +182,11 @@ def train(batch: int) -> None:
             return state, loss
 
     t0 = time.time()
-    chain = jax.jit(chain_fn).lower(state, images, labels).compile()
+    # donate the state like the real trainer does (see bench_train.py)
+    chain = (
+        jax.jit(chain_fn, donate_argnums=(0,))
+        .lower(state, images, labels).compile()
+    )
     print(
         f"# compile {time.time() - t0:.1f}s chain="
         f"{'fori' if FORI else 'unroll'}", file=sys.stderr,

@@ -171,7 +171,13 @@ def mini_train() -> None:
             return state, loss
 
     t0 = time.time()
-    chain = jax.jit(chain_fn).lower(state, images, labels).compile()
+    # donate the state like the real trainer does — without it the chain
+    # holds a second copy of params+opt-state and the temp-bytes report
+    # (the REMAT A/B's subject) is inflated
+    chain = (
+        jax.jit(chain_fn, donate_argnums=(0,))
+        .lower(state, images, labels).compile()
+    )
     print(
         f"# compile {time.time() - t0:.1f}s "
         f"chain={os.environ.get('MLAFF_CHAIN', 'unroll')}",
