@@ -90,12 +90,13 @@ def main() -> None:
     # cannot pollute the measurement; perturb the input per iteration so XLA
     # cannot CSE the repeated pure calls. Completion is forced via a scalar
     # host readback (block_until_ready is unreliable through tunneled PJRT).
-    # MLAFF_CHAIN=fori compiles the chain as a fori_loop (one body compile
-    # instead of CHUNK inlined model copies — ~CHUNK x cheaper XLA compile);
-    # unroll stays the default until the on-chip A/B pins both img/s equal.
+    # The fori_loop chain is the default (one body compile instead of CHUNK
+    # inlined model copies — ~CHUNK x cheaper XLA compile); the on-chip A/B
+    # measured fori 2490 img/s vs unroll 2414 (2026-08-18), so nothing is
+    # lost. MLAFF_CHAIN=unroll restores the old protocol.
     CHUNK = 10
 
-    if os.environ.get("MLAFF_CHAIN", "unroll") == "fori":
+    if os.environ.get("MLAFF_CHAIN", "fori") == "fori":
 
         @jax.jit
         def fwd_chain(variables, images):
@@ -124,7 +125,7 @@ def main() -> None:
     float(fwd_chain(variables, images))  # compile
     print(
         f"# compile {time.time() - t0:.1f}s "
-        f"chain={os.environ.get('MLAFF_CHAIN', 'unroll')}",
+        f"chain={os.environ.get('MLAFF_CHAIN', 'fori')}",
         file=sys.stderr,
     )
     float(fwd_chain(variables, images))  # warm

@@ -7,9 +7,10 @@ visible. Same chained-jit protocol as bench.py.
 Usage: python scripts/bench_maskfiner.py [batch] [mode]
   mode: fwd (default) | train
 
-Env: MLAFF_CHAIN=fori compiles the chain as a fori_loop (one 7-backbone
-body compile instead of CHUNK inlined copies — the unrolled chain at
-CHUNK=4 pushed the remote compile past 50 min); MLAFF_BENCH_OPTS merges
+Env: the chain compiles as a fori_loop by default (one 7-backbone body
+compile instead of CHUNK inlined copies — the unrolled chain at CHUNK=4
+pushed the remote compile past 50 min); MLAFF_CHAIN=unroll restores the
+inlined chain; MLAFF_BENCH_OPTS merges
 ad-hoc config KVs (e.g. "TPU.REMAT blocks").
 """
 
@@ -30,7 +31,7 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 CHUNK = 2  # 7-backbone model: keep the unrolled chain compile-sized
            # (CHUNK=4 pushed the remote compile past 50 min)
 
-FORI = os.environ.get("MLAFF_CHAIN", "unroll") == "fori"
+FORI = os.environ.get("MLAFF_CHAIN", "fori") == "fori"
 
 
 def _load_config():

@@ -75,7 +75,7 @@ def fwd(preset: str) -> None:
         model, jax.random.PRNGKey(0), images[:1], training=False
     )
 
-    if os.environ.get("MLAFF_CHAIN", "unroll") == "fori":
+    if os.environ.get("MLAFF_CHAIN", "fori") == "fori":
 
         @jax.jit
         def chain(variables, images):
@@ -140,7 +140,7 @@ def mini_train() -> None:
     )
     step = trainer.make_train_step(cfg, model, tx, schedule)
 
-    if os.environ.get("MLAFF_CHAIN", "unroll") == "fori":
+    if os.environ.get("MLAFF_CHAIN", "fori") == "fori":
 
         def chain_fn(state, images, labels):
             def body(i, carry):
@@ -180,7 +180,7 @@ def mini_train() -> None:
     )
     print(
         f"# compile {time.time() - t0:.1f}s "
-        f"chain={os.environ.get('MLAFF_CHAIN', 'unroll')}",
+        f"chain={os.environ.get('MLAFF_CHAIN', 'fori')}",
         file=sys.stderr,
     )
     # compiled temp (activation/workspace) memory — the number TPU.REMAT
