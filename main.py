@@ -218,10 +218,12 @@ def main(config, logger, host, num_hosts):
 
     variables = {"params": state.params, "batch_stats": state.batch_stats}
 
+    # test model throughput: the reference ALWAYS benchmarks before
+    # training or eval, not only in --throughput mode (main.py:113-118)
+    batch = next(iter(val_loader))
+    fps = T.throughput(model, variables, jnp.asarray(batch["image"]))
+    logger.info(f"throughput averaged with 30 times: {fps:.1f} img/s")
     if config.THROUGHPUT_MODE:
-        batch = next(iter(val_loader))
-        fps = T.throughput(model, variables, jnp.asarray(batch["image"]))
-        logger.info(f"throughput averaged with 30 times: {fps:.1f} img/s")
         return
 
     eval_step = jax.jit(T.make_eval_step(config, model))
@@ -230,8 +232,13 @@ def main(config, logger, host, num_hosts):
 
     def validate(variables):
         meters = {k: AverageMeter() for k in ("loss", "top1", "top5")}
+        # pad every batch to ONE fixed shape (first batch is a full one,
+        # rounded up to the mesh multiple) -> a single eval executable
+        eval_rows = None
         for batch in val_loader:
-            batch = T.pad_batch_to_multiple(batch, n_mesh)
+            if eval_rows is None:
+                eval_rows = -(-batch["label"].shape[0] // n_mesh) * n_mesh
+            batch = T.pad_batch_to_size(batch, eval_rows)
             sharded = pmesh.shard_batch(mesh, batch)
             with mesh:
                 out = eval_step(
@@ -306,18 +313,28 @@ def main(config, logger, host, num_hosts):
         train_loader.set_epoch(epoch)
         meters = {k: AverageMeter() for k in ("loss", "grad_norm")}
         t0 = time.time()
+        # every-step meters (reference main.py:290-312) WITHOUT a per-step
+        # device sync: stash the device scalars and drain them at print
+        # time, when the producing steps have long since finished
+        pending = []
+
+        def drain():
+            for pidx, ploss, pgn, pfin in pending:
+                meters["loss"].update(float(ploss))
+                meters["grad_norm"].update(float(pgn))
+                if not bool(pfin):
+                    logger.warning(f"non-finite gradients at step {pidx}")
+            pending.clear()
+
         for idx, batch in enumerate(train_loader):
             profiler.step(int(state.step))
             sharded = pmesh.shard_batch(mesh, batch)
             with mesh:
                 state, metrics = train_step(state, sharded, rng)
+            pending.append((idx, metrics["loss"], metrics["grad_norm"],
+                            metrics["grads_finite"]))
             if idx % config.PRINT_FREQ == 0:
-                loss = float(metrics["loss"])
-                gn = float(metrics["grad_norm"])
-                meters["loss"].update(loss)
-                meters["grad_norm"].update(gn)
-                if not bool(metrics["grads_finite"]):
-                    logger.warning(f"non-finite gradients at step {idx}")
+                drain()
                 lr = float(metrics["lr"])
                 logger.info(
                     f"Train: [{epoch}/{config.TRAIN.EPOCHS}][{idx}/"
@@ -326,10 +343,12 @@ def main(config, logger, host, num_hosts):
                     f"grad_norm {meters['grad_norm'].val:.4f}"
                 )
                 metrics_log.log(
-                    {"train/loss": loss, "train/grad_norm": gn,
+                    {"train/loss": meters["loss"].val,
+                     "train/grad_norm": meters["grad_norm"].val,
                      "train/lr": lr},
                     step=int(state.step),
                 )
+        drain()
         logger.info(
             f"EPOCH {epoch} training takes "
             f"{datetime.timedelta(seconds=int(time.time() - t0))}"
@@ -361,7 +380,7 @@ def main(config, logger, host, num_hosts):
             if state.ema_params is not None:
                 ema_vars = {
                     "params": state.ema_params,
-                    "batch_stats": state.batch_stats,
+                    "batch_stats": state.ema_batch_stats,
                 }
                 e1, e5, _ = validate(ema_vars)
                 logger.info(f"EMA Accuracy: {e1:.2f}% / {e5:.2f}%")

@@ -57,7 +57,12 @@ def _shard_map(fn, mesh, in_specs, out_specs):
     # jax>=0.5 exposes shard_map at the top level; keep one call site.
     sm = getattr(jax, "shard_map", None)
     if sm is None:  # pragma: no cover - older jax
+        # The experimental module predates the check_vma rename: it only
+        # accepts check_rep=.
         from jax.experimental.shard_map import shard_map as sm  # type: ignore
+
+        return sm(fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+                  check_rep=False)
     return sm(fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
               check_vma=False)
 
@@ -79,6 +84,13 @@ def pipeline_blocks(
     Args:
       block_fn: ``(params_i, x_micro, *consts_micro) -> y_micro`` with
         ``y_micro.shape == x_micro.shape`` (a uniform residual chain).
+        ``block_fn`` must be **total**: warmup/drain pipeline steps run it
+        on zero-initialized (and later stale) states whose outputs are
+        discarded by masking — but a block that produces NaN on such
+        inputs (e.g. divides by a zero vector norm) contaminates parameter
+        gradients through the zero-cotangent*NaN path. Blocks built from
+        matmul/eps-guarded-norm/pointwise ops (everything in this
+        framework) are total; guard any custom division with an eps.
       stacked_params: pytree whose leaves have leading axis ``L`` (the
         block count, ``stack_block_params``); ``L % pipe_size == 0`` —
         each stage runs a contiguous chunk of ``L // pipe_size`` blocks.

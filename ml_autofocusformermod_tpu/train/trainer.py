@@ -37,6 +37,10 @@ class TrainState:
     batch_stats: Any
     opt_state: Any
     ema_params: Any = None  # None when EMA disabled
+    # timm ModelEmaV2 shadows the full state_dict — buffers (BN running
+    # stats) included (reference main.py:155-163) — so the shadow carries
+    # its own batch_stats tree too.
+    ema_batch_stats: Any = None
 
 
 def create_train_state(
@@ -62,6 +66,11 @@ def create_train_state(
         # "attempt to donate the same buffer twice"
         ema_params=(
             jax.tree_util.tree_map(jnp.copy, params)
+            if config.TRAIN.USE_EMA
+            else None
+        ),
+        ema_batch_stats=(
+            jax.tree_util.tree_map(jnp.copy, batch_stats)
             if config.TRAIN.USE_EMA
             else None
         ),
@@ -136,13 +145,27 @@ def make_train_step(
         )
 
         if use_ema:
+            # timm ModelEmaV2 semantics (reference main.py:155-163,265-269):
+            # the shadow updates once per OPTIMIZER update — under gradient
+            # accumulation that is the accum-th micro-step (when
+            # optax.MultiSteps emits the real update), NOT every micro-step
+            # (decay per micro-step would compound to decay^accum) — and it
+            # covers the full state_dict, BN running stats included.
+            boundary = (state.step + 1) % accum == 0
+
+            def ema_update(e, p):
+                new = e * ema_decay + p.astype(e.dtype) * (1.0 - ema_decay)
+                return jnp.where(boundary, new, e)
+
             new_ema = jax.tree_util.tree_map(
-                lambda e, p: e * ema_decay + p * (1.0 - ema_decay),
-                state.ema_params,
-                new_params,
+                ema_update, state.ema_params, new_params
+            )
+            new_ema_bs = jax.tree_util.tree_map(
+                ema_update, state.ema_batch_stats, new_batch_stats
             )
         else:
             new_ema = None
+            new_ema_bs = None
 
         new_state = TrainState(
             step=state.step + 1,
@@ -150,6 +173,7 @@ def make_train_step(
             batch_stats=new_batch_stats,
             opt_state=new_opt_state,
             ema_params=new_ema,
+            ema_batch_stats=new_ema_bs,
         )
         metrics = {
             "loss": loss,
@@ -196,19 +220,21 @@ def make_eval_step(config, model) -> Callable:
     return eval_step
 
 
-def pad_batch_to_multiple(batch: dict, multiple: int) -> dict:
-    """Pad a partial batch to ``multiple`` rows (mesh divisibility) with a
-    validity mask so metrics ignore the padding."""
+def pad_batch_to_size(batch: dict, rows: int) -> dict:
+    """Pad a partial batch to a FIXED ``rows`` count with a validity mask so
+    metrics ignore the padding. Padding every batch to one fixed shape keeps
+    eval at a single XLA executable per run — padding the tail batch only to
+    the mesh multiple gives it its own shape and a second compile."""
     n = batch["label"].shape[0]
     import numpy as np
 
     valid = batch.get("valid")
     if valid is None:
         valid = np.ones((n,), bool)
-    rem = n % multiple
-    if rem == 0:
+    if n == rows:
         return {**batch, "valid": valid}
-    pad = multiple - rem
+    assert n < rows, f"batch rows {n} > pad target {rows}"
+    pad = rows - n
     out = {}
     for k, v in {**batch, "valid": valid}.items():
         reps = np.concatenate([v, np.repeat(v[-1:], pad, axis=0)], axis=0)
@@ -216,6 +242,15 @@ def pad_batch_to_multiple(batch: dict, multiple: int) -> dict:
             reps[n:] = False
         out[k] = reps
     return out
+
+
+def pad_batch_to_multiple(batch: dict, multiple: int) -> dict:
+    """Pad a partial batch up to the next ``multiple`` of rows (mesh
+    divisibility). Prefer :func:`pad_batch_to_size` with a fixed target in
+    eval loops (one executable per run)."""
+    n = batch["label"].shape[0]
+    rows = -(-n // multiple) * multiple
+    return pad_batch_to_size(batch, rows)
 
 
 def throughput(

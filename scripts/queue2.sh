@@ -12,6 +12,9 @@ if [ -n "$1" ]; then
   echo "=== waiting for master queue pid $1 $(date) ==="
   while kill -0 "$1" 2>/dev/null; do sleep 10; done
 fi
+# honour a stop marker set while we were waiting (operator intent: halt the
+# whole session) BEFORE clearing it for our own run
+stop
 rm -f .queue_stop
 
 stop; echo "=== [Q2-1] small fwd WF_MODE=ic (Small-regression hypothesis) $(date) ==="

@@ -235,3 +235,67 @@ def test_train_step_donation_with_ema():
     p = jax.tree_util.tree_leaves(state.params)[0]
     e = jax.tree_util.tree_leaves(state.ema_params)[0]
     assert not np.allclose(np.asarray(p), np.asarray(e))
+
+
+def test_ema_timm_semantics_under_accumulation():
+    """timm ModelEmaV2 oracle (reference main.py:155-163,265-269): with
+    ACCUMULATION_STEPS=2 the shadow must decay once per OPTIMIZER update
+    (every 2nd micro-step), not per micro-step, and must shadow BN
+    running stats (buffers) alongside params."""
+    decay = 0.5  # large 1-decay so a wrong update count is unmistakable
+    cfg = tiny_config(**{
+        "TRAIN.USE_EMA": True,
+        "TRAIN.EMA_DECAY": decay,
+        "TRAIN.ACCUMULATION_STEPS": 2,
+        "AUG.MIXUP": 0.0,
+        "AUG.CUTMIX": 0.0,
+    })
+    model = AutoFocusFormer(
+        num_classes=10, embed_dim=(16, 32, 48, 64), depths=(1, 1, 1, 1),
+        num_heads=(2, 2, 4, 4), img_size=56, drop_path_rate=0.0,
+    )
+    rng = jax.random.PRNGKey(0)
+    state, tx, schedule = trainer.create_train_state(
+        cfg, model, rng, jnp.zeros((1, 56, 56, 3)), n_steps_per_epoch=10
+    )
+    step = jax.jit(trainer.make_train_step(cfg, model, tx, schedule))
+    batch = {
+        "image": jax.random.normal(jax.random.PRNGKey(1), (4, 56, 56, 3)),
+        "label": jnp.arange(4) % 10,
+    }
+
+    # timm-semantics oracle on the host: shadow = params+buffers, updated
+    # only when the optimizer applies (micro-steps 2 and 4 of 4)
+    as_np = lambda t: jax.tree_util.tree_map(np.asarray, t)
+    ema_p = as_np(state.params)
+    ema_bs = as_np(state.batch_stats)
+    for i in range(4):
+        state, metrics = step(state, batch, jax.random.PRNGKey(i))
+        assert bool(metrics["grads_finite"])
+        if (i + 1) % 2 == 0:  # optimizer-update boundary
+            upd = lambda e, p: e * decay + np.asarray(p) * (1.0 - decay)
+            ema_p = jax.tree_util.tree_map(upd, ema_p, as_np(state.params))
+            ema_bs = jax.tree_util.tree_map(upd, ema_bs, as_np(state.batch_stats))
+
+    for (kp, a), (_, b) in zip(
+        jax.tree_util.tree_leaves_with_path(ema_p),
+        jax.tree_util.tree_leaves_with_path(state.ema_params),
+    ):
+        np.testing.assert_allclose(
+            a, np.asarray(b), rtol=1e-5, atol=1e-6,
+            err_msg=f"params EMA mismatch at {kp}",
+        )
+    bs_leaves = jax.tree_util.tree_leaves_with_path(ema_bs)
+    assert bs_leaves, "model has no BN stats; test needs them"
+    for (kp, a), (_, b) in zip(
+        bs_leaves,
+        jax.tree_util.tree_leaves_with_path(state.ema_batch_stats),
+    ):
+        np.testing.assert_allclose(
+            a, np.asarray(b), rtol=1e-5, atol=1e-6,
+            err_msg=f"batch_stats EMA mismatch at {kp}",
+        )
+    # and the shadow actually differs from both init and live stats
+    live = jax.tree_util.tree_leaves(state.batch_stats)[0]
+    shadow = jax.tree_util.tree_leaves(state.ema_batch_stats)[0]
+    assert not np.allclose(np.asarray(live), np.asarray(shadow))
