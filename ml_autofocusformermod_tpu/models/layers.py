@@ -28,6 +28,7 @@ import numpy as np
 from ..ops.cluster_gather import gather_clusters_onehot, gather_rows
 from ..ops.clusten import clusten_av, clusten_qk, clusten_wf, wf_contract
 from ..ops.knn import knn, nearest_other_distance
+from ..ops.merge_pallas import fused_cluster_merge
 
 
 class HashableArray:
@@ -620,10 +621,20 @@ class ClusterMerging(nn.Module):
 
         # --- merge (CLUSTEN-WF), norm, project (.:361-363) ---
         if sel_ncc is not None:
-            feat_g = gather_clusters_onehot(
-                feat[:, None], sel_ncc, cluster_size
-            )[:, 0]  # b x n' x m x c
-            merged = wf_contract(weights, feat_g.astype(weights.dtype))
+            if os.environ.get("MLAFF_MERGE", "xla") == "pallas":
+                # fused kernel: the gathered (b, n'*m, c) features stay in
+                # VMEM (ops/merge_pallas.py) — the XLA chain below
+                # materializes them twice (~9.6 ms/iter of the AFF-Mini
+                # b128 forward profile)
+                merged = fused_cluster_merge(
+                    weights, feat.astype(weights.dtype), sel_ncc,
+                    cluster_size,
+                )
+            else:
+                feat_g = gather_clusters_onehot(
+                    feat[:, None], sel_ncc, cluster_size
+                )[:, 0]  # b x n' x m x c
+                merged = wf_contract(weights, feat_g.astype(weights.dtype))
         else:
             merged = clusten_wf(weights, feat, sel_member_idx)  # b n' ic c
         merged = merged.reshape(b, keep_num, inner_ch * c)
