@@ -51,6 +51,13 @@ def parse_option():
 def run_all():
     import jax
 
+    # honour JAX_PLATFORMS explicitly: an environment sitecustomize may
+    # force-register an accelerator plugin that outranks the env var, and
+    # `JAX_PLATFORMS=cpu python main.py` (tests, CI) must actually run on
+    # CPU rather than silently grabbing the accelerator
+    if os.environ.get("JAX_PLATFORMS"):
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
     # persistent compile cache (first full-model compile through the
     # remote-compile path takes minutes; reruns are instant)
     from ml_autofocusformermod_tpu.utils.cache import enable_compile_cache

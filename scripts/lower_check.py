@@ -25,6 +25,10 @@ import numpy as np
 
 def main() -> int:
     import jax
+
+    # the ambient sitecustomize's plugin registration outranks the env
+    # var; force the platform through jax.config too
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
     import jax.numpy as jnp
 
     from ml_autofocusformermod_tpu.ops.clusten_pallas import (
