@@ -20,6 +20,8 @@ stop; echo "=== [R2B-2] bench.py MLAFF_MERGE=pallas $(date) ==="
 MLAFF_MERGE=pallas timeout 3000 python bench.py
 stop; echo "=== [R2B-3] bench.py MLAFF_MERGE=pallas + WF ic (fallback paths) $(date) ==="
 MLAFF_MERGE=pallas MLAFF_WF_MODE=ic timeout 3000 python bench.py
+stop; echo "=== [R2B-3b] small fwd MLAFF_WF_MODE=einsum (1083-regression hypothesis: vpu default was never A/Bed on Small) $(date) ==="
+MLAFF_WF_MODE=einsum timeout 3600 python scripts/bench_train.py fwd small
 stop; echo "=== [R2B-4] small fwd MLAFF_MERGE=pallas $(date) ==="
 MLAFF_MERGE=pallas timeout 3600 python scripts/bench_train.py fwd small
 stop; echo "=== [R2B-5] mini_train refresh (MERGE=pallas) $(date) ==="

@@ -22,6 +22,16 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
 
+# Persistent compile cache for the suite: the wall clock is dominated by
+# XLA CPU compiles of full train steps (60-400 s each on this 1-core box);
+# identical compiles dedupe across tests and reruns are near-instant.
+_cache_dir = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    ".jax_cache_cpu",
+)
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 import pytest  # noqa: E402
 
 REFERENCE_DIR = "/root/reference"

@@ -95,7 +95,13 @@ def test_train_resume_bitwise_and_metrics(tmp_path):
     mismatched = [
         jax.tree_util.keystr(pa)
         for (pa, a), (_, b) in zip(leaves_a, leaves_b)
-        if not np.array_equal(np.asarray(a), np.asarray(b))
+        # meta.max_accuracy legitimately differs: checkpoints are saved
+        # BEFORE the epoch's validation updates it (same ordering as the
+        # reference, main.py:174-186), so the resumed run cannot know
+        # epoch-0's accuracy. Every bit of actual training state (params,
+        # moments, EMA, BN stats, RNG, step) must match.
+        if "max_accuracy" not in jax.tree_util.keystr(pa)
+        and not np.array_equal(np.asarray(a), np.asarray(b))
     ]
     assert not mismatched, (
         f"resume not bitwise identical: {mismatched[:10]}"
