@@ -1247,11 +1247,14 @@ def _bwd_kernel(*refs, h: int, cs: int, n_valid: int, rel_width: int,
                 preferred_element_type=jnp.float32, precision=prec,
             )  # (c_, 1)
             dbv = jax.lax.dot_general(
-                pb, go32, (((0,), (0,)), ((), ())),
+                go32, pb, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32, precision=prec,
-            )  # (1, c_)
+            )  # (c_, 1) — d_blank_v[hi] = sum_t pb[t] * g_out[t]
             dblank_ref[0, 0:c_, hi:hi + 1] = (
                 dblank_ref[0, 0:c_, hi:hi + 1] + dbk
+            )
+            dblank_ref[0, c_:2 * c_, hi:hi + 1] = (
+                dblank_ref[0, c_:2 * c_, hi:hi + 1] + dbv
             )
     if cu:
         # scatter the compact dk/dv accumulator back into the resident
@@ -1697,7 +1700,15 @@ def _fca_bwd(h, cs, rel_width, clamp_width, static_ncc, residuals,
              g_out):
     q, kv, ncc, pos, pe_kernel, pe_bias, blank_k, blank_v = residuals
     c_ = q.shape[-1] // h
-    if _PALLAS_BWD and c_ % 8 == 0 and not _INTERPRET:
+    # The interpreter normally takes the XLA-oracle backward (the Pallas
+    # bwd is the production TPU path) — but that left the Pallas bwd with
+    # ZERO CPU test coverage, which hid a missing d_blank_v accumulation
+    # (found by the on-chip probe, round 2). MLAFF_PALLAS_BWD_INTERPRET=1
+    # forces the Pallas bwd under the interpreter for parity tests.
+    force_interp_bwd = (
+        os.environ.get("MLAFF_PALLAS_BWD_INTERPRET", "0") == "1"
+    )
+    if _PALLAS_BWD and c_ % 8 == 0 and (not _INTERPRET or force_interp_bwd):
         dq, dkv, d_pe_kernel, d_pe_bias, d_blank_k, d_blank_v = (
             _attention_bwd_impl(
                 q, kv, ncc, pos, pe_kernel, pe_bias, blank_k, blank_v,

@@ -14,6 +14,8 @@ if [ -n "$1" ]; then
   while kill -0 "$1" 2>/dev/null; do sleep 30; done
 fi
 
+stop; echo "=== [R2B-0] parity_probe re-run: d_blank_v bwd-kernel fix $(date) ==="
+timeout 3000 python scripts/parity_probe.py
 stop; echo "=== [R2B-1] merge-kernel parity probe on chip $(date) ==="
 timeout 3000 python scripts/parity_merge.py
 stop; echo "=== [R2B-2] bench.py MLAFF_MERGE=pallas $(date) ==="

@@ -113,3 +113,45 @@ def test_main_cli_train_two_steps(tmp_path):
         if d.startswith("ckpt_epoch_")
     ]
     assert ckpts, "no checkpoint written"
+
+
+def test_main_cli_maskfiner_curriculum_train(tmp_path):
+    """main.py trains a (tiny) MaskFiner-OT for two epochs: the upsampling
+    curriculum must rebuild the model with DIFFERENT quantized ratios per
+    epoch (reference main.py:231-235 semantics, crash-fixed + quantized),
+    checkpoint, and validate."""
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PYTHONPATH"] = REPO
+    cmd = [
+        sys.executable, os.path.join(REPO, "main.py"),
+        "--cfg", os.path.join(CFG_DIR, "maskfiner_oracle_teacher.yaml"),
+        "--batch-size", "8",
+        "--epochs", "2",
+        "--data-path", str(tmp_path / "none"),
+        "--output", str(tmp_path / "out"),
+        "--opts",
+        "DATA.IMG_SIZE", "64",
+        "MODEL.NUM_CLASSES", "10",
+        "MODEL.MR.EMBED_DIM", "[32,24,16,8]",
+        "MODEL.MR.DEPTHS", "[1,1,1,1]",
+        "MODEL.MR.NUM_HEADS", "[2,2,2,2]",
+        "MODEL.MR.MLP_RATIO", "[2.0,2.0,2.0,2.0]",
+        "TPU.COMPUTE_DTYPE", "float32",
+        "TRAIN.WARMUP_EPOCHS", "0",
+        "SAVE_FREQ", "1",
+        "EVAL_FREQ", "2",
+        "PRINT_FREQ", "4",
+    ]
+    out = subprocess.run(
+        cmd, env=env, capture_output=True, text=True, timeout=2400
+    )
+    assert out.returncode == 0, out.stdout[-4000:] + out.stderr[-4000:]
+    ratio_lines = [
+        l for l in out.stdout.splitlines() if "Upsampling ratios now" in l
+    ]
+    # epoch 0 anneals from 1.0, epoch 1 is half-way to the final ratios ->
+    # two distinct rebuilds
+    assert len(ratio_lines) == 2, out.stdout[-2000:]
+    assert ratio_lines[0] != ratio_lines[1]
+    assert "Start training" in out.stdout

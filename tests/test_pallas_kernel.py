@@ -231,3 +231,80 @@ def test_fused_model_path_matches_unfused():
     np.testing.assert_allclose(
         np.asarray(o1), np.asarray(o2), atol=1e-5, rtol=1e-4
     )
+
+
+def test_pallas_backward_kernel_interpret_parity(monkeypatch):
+    """Run the PALLAS backward kernel itself under the interpreter (not
+    the XLA-oracle fallback the other grad tests take) and pin every
+    input gradient against the oracle. Added after the round-2 on-chip
+    probe caught d_blank_v ≡ 0: the bwd kernel computed the blank-value
+    gradient but never accumulated it into the output ref, and no CPU
+    test executed that kernel."""
+    monkeypatch.setenv("MLAFF_PALLAS_BWD_INTERPRET", "1")
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "parity_probe",
+        os.path.join(os.path.dirname(__file__), "..", "scripts",
+                     "parity_probe.py"),
+    )
+    pp = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(pp)
+
+    h_, w_, cs, nnc, heads, c_, b, R = 16, 16, 8, 3, 2, 16, 2, 55
+    n = h_ * w_
+    from ml_autofocusformermod_tpu.ops import clusten_pallas as cp
+    from ml_autofocusformermod_tpu.ops.sfc import (
+        grid_cluster, grid_nearest_clusters,
+    )
+
+    g_pos, *_ = grid_cluster(h_, w_, cs)
+    ncc_np = grid_nearest_clusters(h_, w_, cs, nnc)
+    pos = jnp.broadcast_to(jnp.asarray(g_pos, jnp.float32)[None], (b, n, 2))
+    ncc = jnp.broadcast_to(
+        jnp.asarray(ncc_np, jnp.int32)[None], (b,) + ncc_np.shape
+    )
+    ks = jax.random.split(jax.random.PRNGKey(3), 7)
+    q = jax.random.normal(ks[0], (b, heads, n, c_), jnp.float32)
+    k = jax.random.normal(ks[1], (b, heads, n, c_), jnp.float32)
+    v = jax.random.normal(ks[2], (b, heads, n, c_), jnp.float32)
+    pe_kernel = jax.random.normal(ks[3], (5, heads), jnp.float32) * 0.1
+    pe_bias = jax.random.normal(ks[4], (heads,), jnp.float32) * 0.1
+    blank_k = jax.random.normal(ks[5], (c_, heads), jnp.float32) * 0.5
+    blank_v = jax.random.normal(ks[6], (heads, c_), jnp.float32) * 0.5
+    q_tm = pp.to_token_major(q)
+    kv_tm = pp.fuse_kv(k, v)
+
+    def loss(fn):
+        def inner(q_tm, kv_tm, pek, peb, bk, bv):
+            o = fn(q_tm, kv_tm, pek, peb, bk, bv)
+            return (o.astype(jnp.float32)
+                    * jnp.sin(jnp.arange(o.size).reshape(o.shape))).sum()
+        return inner
+
+    def fused(q_tm, kv_tm, pek, peb, bk, bv):
+        return cp.fused_cluster_attention(
+            q_tm, kv_tm, ncc, pos, pek, peb, bk, bv,
+            num_heads=heads, cs=cs, rel_width=R, static_ncc=ncc_np,
+            static_pos=g_pos,
+        )
+
+    def oracle(q_tm, kv_tm, pek, peb, bk, bv):
+        return pp.reference(q_tm, kv_tm, ncc, pos, pek, peb, bk, bv,
+                            heads, cs, R)
+
+    args = (q_tm, kv_tm, pe_kernel, pe_bias, blank_k, blank_v)
+    gf = jax.grad(loss(fused), argnums=tuple(range(6)))(*args)
+    gr = jax.grad(loss(oracle), argnums=tuple(range(6)))(*args)
+    names = ["q", "kv", "pe_kernel", "pe_bias", "blank_k", "blank_v"]
+    for name, a, r in zip(names, gf, gr):
+        ra = np.asarray(r, np.float32)
+        scale = max(np.abs(ra).max(), 1e-6)
+        np.testing.assert_allclose(
+            np.asarray(a, np.float32) / scale, ra / scale,
+            atol=2e-4, rtol=0,
+            err_msg=f"Pallas bwd kernel grad {name} diverges from oracle",
+        )
+        assert np.abs(np.asarray(a, np.float32)).max() > 0, (
+            f"grad {name} is identically zero"
+        )
