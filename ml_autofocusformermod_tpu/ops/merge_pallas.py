@@ -51,7 +51,12 @@ from .clusten import wf_contract
 
 __all__ = ["fused_cluster_merge"]
 
-_INTERPRET = os.environ.get("MLAFF_PALLAS_INTERPRET", "0") == "1"
+def _interpret() -> bool:
+    # read at CALL time, not import time: this module is imported eagerly
+    # by models/layers.py, before test modules get a chance to set the
+    # env var (clusten_pallas gets away with import-time binding only
+    # because it is imported lazily inside ClusterAttention.__call__)
+    return os.environ.get("MLAFF_PALLAS_INTERPRET", "0") == "1"
 
 
 def _merge_fwd_kernel(w_ref, feat_ref, ncc_ref, out_ref, *, cs: int,
@@ -141,7 +146,7 @@ def _merge_fwd_impl(weights, feat, ncc, cluster_size):
         ],
         out_specs=pl.BlockSpec((gb, n_pad, ic * c), lambda i: (i, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((b, n_pad, ic * c), weights.dtype),
-        interpret=_INTERPRET,
+        interpret=_interpret(),
     )(w3, featc, nccp)
     return out[:, :n_].reshape(b, n_, ic, c)
 
