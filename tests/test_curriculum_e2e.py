@@ -49,16 +49,18 @@ def test_applies_to_guard():
     assert ud.final_upsampling_ratios == list(ud_cfg.MODEL.MR.UPSCALE_RATIO)
 
 
-@pytest.mark.parametrize("mode", ["--eval", "--throughput"])
-def test_main_cli_smoke(tmp_path, mode):
-    """main.py end-to-end on synthetic data (tiny model, CPU)."""
+def test_main_cli_smoke(tmp_path):
+    """main.py --eval end-to-end on synthetic data (tiny model, CPU).
+    Covers the --throughput surface too: the benchmark ALWAYS runs before
+    eval/training, like the reference (main.py:113-118), so one
+    invocation asserts both outputs."""
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
     env["PYTHONPATH"] = REPO
     cmd = [
         sys.executable, os.path.join(REPO, "main.py"),
         "--cfg", os.path.join(CFG_DIR, "aff_mini.yaml"),
-        mode,
+        "--eval",
         "--batch-size", "8",
         "--data-path", str(tmp_path / "none"),
         "--output", str(tmp_path / "out"),
@@ -74,10 +76,8 @@ def test_main_cli_smoke(tmp_path, mode):
         cmd, env=env, capture_output=True, text=True, timeout=900
     )
     assert out.returncode == 0, out.stdout + out.stderr
-    if mode == "--eval":
-        assert "Accuracy of the network" in out.stdout
-    else:
-        assert "throughput averaged" in out.stdout
+    assert "Accuracy of the network" in out.stdout
+    assert "throughput averaged" in out.stdout
 
 
 def test_main_cli_train_two_steps(tmp_path):
