@@ -575,24 +575,30 @@ class ClusterMerging(nn.Module):
             if nearest_cluster is not None
             else None
         )
-        if learned_prob is not None:
-            if sel_ncc is not None:
-                # NOT detached here: pointconv weights carry grad (.:340)
-                lp = gather_clusters_onehot(
-                    learned_prob[:, None], sel_ncc, cluster_size
-                )[:, 0]  # b x n' x m x 1
-            else:
+        # --- rel-pos features at the selected centers (.:336,343-350) ---
+        # one fused cluster gather for [pos, learned_prob] (f32 one-hot
+        # matmul is an exact row copy; bf16 lp round-trips exactly):
+        # halves the per-merge one-hot matmuls + HBM materializations.
+        # learned_prob is NOT detached here: pointconv weights carry grad
+        # (aff_transformer.py:340)
+        R = self.rel_pos_width
+        if sel_ncc is not None:
+            aux = pos.astype(jnp.float32)
+            if learned_prob is not None:
+                aux = jnp.concatenate(
+                    [aux, learned_prob.astype(jnp.float32)], axis=-1
+                )
+            aux_g = gather_clusters_onehot(
+                aux[:, None], sel_ncc, cluster_size
+            )[:, 0]  # b x n' x m x (d [+ 1])
+            pos_g = aux_g[..., :d]
+            if learned_prob is not None:
+                lp = aux_g[..., d:]  # b x n' x m x 1
+        else:
+            if learned_prob is not None:
                 lp = jnp.take_along_axis(
                     learned_prob, sel_member_idx.reshape(b, -1, 1), axis=1
                 ).reshape(b, keep_num, nbhd_size, 1)
-
-        # --- rel-pos features at the selected centers (.:336,343-350) ---
-        R = self.rel_pos_width
-        if sel_ncc is not None:
-            pos_g = gather_clusters_onehot(
-                pos[:, None], sel_ncc, cluster_size
-            )[:, 0]  # b n' m 2
-        else:
             pos_g = gather_rows(
                 pos, sel_member_idx.reshape(b, -1)
             ).reshape(b, keep_num, nbhd_size, d)
