@@ -88,6 +88,118 @@ def _merge_fwd_kernel(w_ref, feat_ref, ncc_ref, out_ref, *, cs: int,
             out_ref[bi, :, i * c:(i + 1) * c] = accs[i].astype(out_ref.dtype)
 
 
+def _merge_bwd_kernel(w_ref, feat_ref, ncc_ref, g_ref, dw_ref, dfeat_ref,
+                      *, cs: int, ic: int, hiprec: bool):
+    """Backward of the fused merge, same in-VMEM structure as forward.
+
+    d_w[t,(j,s),i] = sum_c g[t,i,c] * (oh_j @ featc)[t, s*c+c]
+    d_featc       += sum_j oh_j^T @ M_j,
+        M_j[t, s*c+c] = sum_i w[t,(j,s),i] * g[t,i,c]
+
+    The reference splits its WF backward the same way into a dense
+    d_weights kernel and a scatter-add d_feat kernel
+    (``clustenwf_cuda_kernel.cu:96-169``); the scatter-add becomes the
+    one-hot transpose matmul, in VMEM, deterministic by construction.
+    """
+    gb, k, csc = feat_ref.shape
+    c = csc // cs
+    n_ = w_ref.shape[1]
+    nnc = ncc_ref.shape[2]
+    prec = jax.lax.Precision.HIGHEST if hiprec else None
+    for bi in range(gb):
+        featc = feat_ref[bi]
+        kiota = jax.lax.broadcasted_iota(jnp.int32, (n_, k), 1)
+        gsl = [
+            g_ref[bi, :, i * c:(i + 1) * c].astype(jnp.float32)
+            for i in range(ic)
+        ]
+        dfeat = jnp.zeros((k, csc), jnp.float32)
+        for j in range(nnc):
+            oh = (kiota == ncc_ref[bi, :, j:j + 1]).astype(featc.dtype)
+            gj = jax.lax.dot_general(
+                oh, featc, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=prec,
+            )  # (n_, cs*c)
+            m_cols = []
+            dw_cols = []
+            for s in range(cs):
+                gj_s = gj[:, s * c:(s + 1) * c]
+                acc_s = jnp.zeros((n_, c), jnp.float32)
+                for i in range(ic):
+                    col = ((j * cs + s) * ic + i)
+                    wv = w_ref[bi, :, col:col + 1].astype(jnp.float32)
+                    acc_s = acc_s + wv * gsl[i]
+                    dw_cols.append(
+                        (gsl[i] * gj_s).sum(axis=1, keepdims=True)
+                    )
+                m_cols.append(acc_s)
+            dw_ref[bi, :, j * cs * ic:(j + 1) * cs * ic] = (
+                jnp.concatenate(dw_cols, axis=1).astype(dw_ref.dtype)
+            )
+            mj = jnp.concatenate(m_cols, axis=1).astype(featc.dtype)
+            dfeat = dfeat + jax.lax.dot_general(
+                oh, mj, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=prec,
+            )
+        dfeat_ref[bi] = dfeat.astype(dfeat_ref.dtype)
+
+
+def _merge_bwd_impl(weights, feat, ncc, cluster_size, g):
+    b, n_, m, ic = weights.shape
+    n, c = feat.shape[1], feat.shape[2]
+    nnc = ncc.shape[-1]
+    cs = cluster_size
+    k = -(-n // cs)
+    featc = _pad_axis(feat, 1, k * cs).reshape(b, k, cs * c)
+    n_pad = -(-n_ // 8) * 8
+    w3 = _pad_axis(weights.reshape(b, n_, m * ic), 1, n_pad)
+    nccp = _pad_axis(ncc, 1, n_pad)
+    g3 = _pad_axis(
+        g.reshape(b, n_, ic * c).astype(weights.dtype), 1, n_pad
+    )
+
+    per_image = (
+        k * cs * c * 2 * 2          # featc + M_j
+        + n_pad * cs * c * 4        # G_j f32
+        + n_pad * max(k, 128) * 2   # onehot
+        + 2 * n_pad * max(m * ic, 256) * 2  # w3 + dw
+        + n_pad * max(ic * c, 128) * 2     # g3
+        + k * cs * c * 4            # dfeat acc
+    )
+    budget = int(os.environ.get("MLAFF_MERGE_BUDGET_MB", "10")) * 2**20
+    gb = 1
+    while gb < 8 and gb * 2 <= b and b % (gb * 2) == 0 \
+            and gb * 2 * per_image <= budget:
+        gb *= 2
+
+    kernel = functools.partial(
+        _merge_bwd_kernel, cs=cs, ic=ic,
+        hiprec=(weights.dtype == jnp.float32),
+    )
+    dw3, dfeatc = pl.pallas_call(
+        kernel,
+        grid=(b // gb,),
+        in_specs=[
+            pl.BlockSpec((gb, n_pad, m * ic), lambda i: (i, 0, 0)),
+            pl.BlockSpec((gb, k, cs * c), lambda i: (i, 0, 0)),
+            pl.BlockSpec((gb, n_pad, nnc), lambda i: (i, 0, 0)),
+            pl.BlockSpec((gb, n_pad, ic * c), lambda i: (i, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((gb, n_pad, m * ic), lambda i: (i, 0, 0)),
+            pl.BlockSpec((gb, k, cs * c), lambda i: (i, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, n_pad, m * ic), weights.dtype),
+            jax.ShapeDtypeStruct((b, k, cs * c), jnp.float32),
+        ],
+        interpret=_interpret(),
+    )(w3, featc, nccp, g3)
+    dw = dw3[:, :n_].reshape(b, n_, m, ic)
+    dfeat = dfeatc.reshape(b, k * cs, c)[:, :n].astype(feat.dtype)
+    return dw, dfeat
+
+
 def _merge_ref(weights, feat, ncc, cluster_size):
     """XLA reference semantics (identical math): gather + contract."""
     feat_g = gather_clusters_onehot(
@@ -179,10 +291,15 @@ def _fcm_fwd(weights, feat, ncc, cluster_size):
 
 def _fcm_bwd(cluster_size, res, g):
     weights, feat, ncc = res
-    _, vjp = jax.vjp(
-        lambda w, f: _merge_ref(w, f, ncc, cluster_size), weights, feat
-    )
-    dw, df = vjp(g)
+    if os.environ.get("MLAFF_MERGE_BWD", "pallas") == "pallas":
+        dw, df = _merge_bwd_impl(weights, feat, ncc, cluster_size, g)
+    else:
+        # XLA reference chain's VJP (A/B + fallback): the scatter-add into
+        # d_feat is the one-hot transpose matmul XLA lowers deterministically
+        _, vjp = jax.vjp(
+            lambda w, f: _merge_ref(w, f, ncc, cluster_size), weights, feat
+        )
+        dw, df = vjp(g)
     return dw, df, None
 
 
