@@ -17,6 +17,8 @@ if [ -n "$1" ]; then
   while kill -0 "$1" 2>/dev/null; do sleep 30; done
 fi
 
+stop; echo "=== [R2D-0] parity_probe MLAFF_COMPACT=1 (Mosaic numerics before benching) $(date) ==="
+MLAFF_COMPACT=1 timeout 3000 python scripts/parity_probe.py
 stop; echo "=== [R2D-1] stage1 kernel bench: compact vs window vs bands $(date) ==="
 timeout 3000 python scripts/bench_stage1.py 128
 stop; echo "=== [R2D-1b] compact $(date) ==="
