@@ -237,16 +237,20 @@ def main(config, logger, host, num_hosts):
 
     n_mesh = int(np.prod(mesh.devices.shape))
 
+    from ml_autofocusformermod_tpu.data.prefetch import prefetch_to_mesh
+
     def validate(variables):
         meters = {k: AverageMeter() for k in ("loss", "top1", "top5")}
         # pad every batch to ONE fixed shape (first batch is a full one,
         # rounded up to the mesh multiple) -> a single eval executable
-        eval_rows = None
-        for batch in val_loader:
-            if eval_rows is None:
-                eval_rows = -(-batch["label"].shape[0] // n_mesh) * n_mesh
-            batch = T.pad_batch_to_size(batch, eval_rows)
-            sharded = pmesh.shard_batch(mesh, batch)
+        eval_rows = [None]
+
+        def pad(batch):
+            if eval_rows[0] is None:
+                eval_rows[0] = -(-batch["label"].shape[0] // n_mesh) * n_mesh
+            return T.pad_batch_to_size(batch, eval_rows[0])
+
+        for sharded in prefetch_to_mesh(val_loader, mesh, transform=pad):
             with mesh:
                 out = eval_step(
                     variables["params"], variables["batch_stats"], sharded
@@ -333,9 +337,10 @@ def main(config, logger, host, num_hosts):
                     logger.warning(f"non-finite gradients at step {pidx}")
             pending.clear()
 
-        for idx, batch in enumerate(train_loader):
+        # host decode/augment + H2D run `size` steps ahead on a thread
+        # (data/prefetch.py), so neither sits between two step dispatches
+        for idx, sharded in enumerate(prefetch_to_mesh(train_loader, mesh)):
             profiler.step(int(state.step))
-            sharded = pmesh.shard_batch(mesh, batch)
             with mesh:
                 state, metrics = train_step(state, sharded, rng)
             pending.append((idx, metrics["loss"], metrics["grad_norm"],

@@ -189,3 +189,38 @@ def test_checkpoint_roundtrip(tmp_path):
     l2 = jax.tree_util.tree_leaves(restored.params)
     for a, b in zip(l1, l2):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_prefetch_to_mesh_order_transform_and_errors():
+    """data/prefetch.py: batches arrive sharded, in order, transformed;
+    producer exceptions re-raise at the consumer."""
+    from ml_autofocusformermod_tpu.data.prefetch import prefetch_to_mesh
+    from ml_autofocusformermod_tpu.parallel import mesh as pmesh
+
+    mesh = pmesh.make_mesh(data=len(jax.devices()))
+    batches = [
+        {"image": np.full((8, 4), i, np.float32), "label": np.arange(8) + i}
+        for i in range(5)
+    ]
+    got = list(
+        prefetch_to_mesh(
+            iter(batches), mesh,
+            transform=lambda b: {**b, "label": b["label"] * 2},
+        )
+    )
+    assert len(got) == 5
+    for i, b in enumerate(got):
+        assert isinstance(b["image"], jax.Array)
+        np.testing.assert_array_equal(np.asarray(b["image"])[:, 0], i)
+        np.testing.assert_array_equal(
+            np.asarray(b["label"]), (np.arange(8) + i) * 2
+        )
+
+    def boom():
+        yield batches[0]
+        raise RuntimeError("loader died")
+
+    it = prefetch_to_mesh(boom(), mesh)
+    next(it)
+    with pytest.raises(RuntimeError, match="loader died"):
+        list(it)
