@@ -398,6 +398,7 @@ def main(config, logger, host, num_hosts):
                 logger.info(f"EMA Accuracy: {e1:.2f}% / {e5:.2f}%")
 
     profiler.stop()
+    orbax_io.wait_for_checkpoints()  # flush the async save before exit
     total = time.time() - start
     logger.info(
         f"Training time {datetime.timedelta(seconds=int(total))}"

@@ -18,9 +18,36 @@ import jax
 import numpy as np
 import orbax.checkpoint as ocp
 
-__all__ = ["save_checkpoint", "load_checkpoint", "auto_resume_helper"]
+__all__ = [
+    "save_checkpoint",
+    "load_checkpoint",
+    "auto_resume_helper",
+    "wait_for_checkpoints",
+]
 
 _CKPT_RE = re.compile(r"ckpt_epoch_(\d+)$")
+
+# One async checkpointer for the process: ``save`` returns once the
+# device->host copy is done and the serialization/fsync continues on a
+# background thread, overlapping the next epoch's compute (the reference
+# blocks training for the whole torch.save, ``utils.py:69``). Orbax commits
+# atomically (tmp dir + rename), so auto-resume only ever sees complete
+# checkpoints and a crash mid-write costs no more than the reference's.
+_ASYNC_CKPTR: Optional[ocp.AsyncCheckpointer] = None
+
+
+def _async_ckptr() -> ocp.AsyncCheckpointer:
+    global _ASYNC_CKPTR
+    if _ASYNC_CKPTR is None:
+        _ASYNC_CKPTR = ocp.AsyncCheckpointer(ocp.StandardCheckpointHandler())
+    return _ASYNC_CKPTR
+
+
+def wait_for_checkpoints() -> None:
+    """Block until every in-flight async save has committed (call before
+    process exit and before reading a just-saved checkpoint)."""
+    if _ASYNC_CKPTR is not None:
+        _ASYNC_CKPTR.wait_until_finished()
 
 
 def save_checkpoint(
@@ -30,13 +57,36 @@ def save_checkpoint(
     max_accuracy: float,
     rng: jax.Array,
     keep_every: int = 5,
+    block: bool = False,
 ) -> str:
     """Write ``ckpt_epoch_<e>`` under ``output_dir``. The latest checkpoint is
     always present; multiples of ``keep_every`` are retained (SAVE_FREQ=5,
-    reference ``utils.py:71-77``)."""
+    reference ``utils.py:71-77``). Async by default — returns as soon as the
+    device->host copy finishes; ``block=True`` (or
+    :func:`wait_for_checkpoints`) waits for the commit."""
     os.makedirs(output_dir, exist_ok=True)
     path = os.path.join(os.path.abspath(output_dir), f"ckpt_epoch_{epoch}")
-    ckptr = ocp.StandardCheckpointer()
+    ckptr = _async_ckptr()
+    # at most one save in flight; once the previous one committed, pruning
+    # below never touches an uncommitted directory
+    ckptr.wait_until_finished()
+    if jax.process_index() == 0:
+        # prune old non-multiple checkpoints, keeping the newest (rank 0
+        # only; shared filesystem). Pruning BEFORE enqueueing the new save
+        # keeps the previous rolling checkpoint alive until this one exists.
+        committed = {}
+        for name in os.listdir(output_dir):
+            m = _CKPT_RE.match(name)
+            if m:
+                committed[int(m.group(1))] = name
+        newest = max(committed, default=None)
+        for e, name in committed.items():
+            if e != newest and e != epoch and (
+                keep_every <= 0 or e % keep_every != 0
+            ):
+                import shutil
+
+                shutil.rmtree(os.path.join(output_dir, name), ignore_errors=True)
     payload = {
         "state": state,
         "meta": {
@@ -45,24 +95,15 @@ def save_checkpoint(
             "rng": np.asarray(jax.random.key_data(rng)),
         },
     }
-    ckptr.save(path, payload, force=True)
-    ckptr.wait_until_finished()
-    if jax.process_index() != 0:
-        return path
-    # prune old non-multiple checkpoints (rank 0 only; shared filesystem)
-    for name in os.listdir(output_dir):
-        m = _CKPT_RE.match(name)
-        if m:
-            e = int(m.group(1))
-            if e != epoch and (keep_every <= 0 or e % keep_every != 0):
-                import shutil
-
-                shutil.rmtree(os.path.join(output_dir, name), ignore_errors=True)
+    ckptr.save(path, args=ocp.args.StandardSave(payload), force=True)
+    if block:
+        ckptr.wait_until_finished()
     return path
 
 
 def load_checkpoint(path: str, state) -> Tuple[Any, int, float, jax.Array]:
     """Restore ``(state, epoch, max_accuracy, rng)`` from ``ckpt_epoch_*``."""
+    wait_for_checkpoints()  # a just-enqueued async save must commit first
     ckptr = ocp.StandardCheckpointer()
     payload = {
         "state": state,
@@ -80,6 +121,7 @@ def load_checkpoint(path: str, state) -> Tuple[Any, int, float, jax.Array]:
 
 def auto_resume_helper(output_dir: str) -> Optional[str]:
     """Newest ``ckpt_epoch_*`` dir by mtime (reference ``utils.py:93-103``)."""
+    wait_for_checkpoints()  # in-flight async saves are invisible until commit
     if not os.path.isdir(output_dir):
         return None
     cands = [
