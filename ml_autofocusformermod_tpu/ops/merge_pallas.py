@@ -15,26 +15,39 @@ AFF-Mini b128 forward profile shows ~9.6 ms/iter of merge-chain glue
 This kernel applies the same TPU-first move as the attention kernel
 (``clusten_pallas.py``): the per-image features are tiny (AFF stage 1:
 392 x 256 bf16 = 200 KB), so they stay RESIDENT in VMEM viewed at cluster
-granularity ``(k, cs*c)``, and each of a center's ``nnc`` nearest clusters
-is fetched by an in-VMEM one-hot matmul — the gathered block lives only in
-registers/VMEM and is immediately folded into the weighted reduction:
+granularity, and each of a center's ``nnc`` nearest clusters is fetched by
+an in-VMEM one-hot matmul — the gathered block lives only in VMEM and is
+immediately folded into the weighted reduction:
 
     out[t, i, c] = sum_j sum_s w[t, (j,s), i] * feat[ncc[t,j]*cs + s, c]
 
-per image:  for j < nnc:   G_j = onehot(ncc[:, j]) @ featc   (MXU, k-dim)
-            for s < cs, i < ic:  acc_i += w3[:, (j,s,i)] * G_j[:, s*c:(s+1)*c]
+Kernel-layout notes (v2 — the v1 kernel compiled to an 80 MB scoped-VMEM
+stack and was rejected by Mosaic):
 
-One-hot x bf16 is exact (each G_j row is a verbatim feature row), so this
-is a gather, not an approximation. FLOPs are n'*nnc*k*(cs*c) MACs — half
-of a dense (n', n) weight-plane formulation (the round-1 negative result,
-PERF.md) because the one-hot contracts at CLUSTER granularity. Weight and
-index operands are passed through zero-cost row-major reshapes only.
+* the ``j`` (neighbor cluster) and ``s`` (within-cluster slot) loops are
+  ``lax.fori_loop``s, so Mosaic reuses the loop body's stack instead of
+  summing ~200 unrolled temporaries;
+* width-1 lane slices (``w_ref[bi, :, col:col+1]``) are gone.  Each one
+  forced a 128-lane-padded (n', 1) stack temporary.  The per-(s, i)
+  weight broadcast is now a tiny constant-matrix MXU matmul:
+  ``wjs @ E_j`` with ``E_j[r, i*c+c'] = (r == j*ic + i)`` built from a
+  traced-``j`` iota compare;
+* ``s`` is a LEADING ref dimension: features arrive as ``(b, cs, k, c)``
+  and weights as ``(b, cs, n'_pad, nnc*ic)`` so the loop body indexes
+  ``feat_ref[bi, s]`` / ``w_ref[bi, s]`` — dynamic indexing on leading
+  (non-tiled) dims, which Mosaic supports natively.  The host-side
+  transposes are small XLA copies (~26 MB at AFF-Mini stage 1).
 
-Backward: custom_vjp whose bwd is the XLA reference chain's VJP — the
-scatter-add into d_feat becomes the one-hot transpose matmul XLA already
-lowers deterministically; d_weights recomputes the gathered block. (Same
-split as the reference: its WF backward is two separate CUDA kernels,
-``clustenwf_cuda_kernel.cu:96-169``.)
+One-hot x bf16 is exact (each gathered row is a verbatim feature row), so
+this is a gather, not an approximation. FLOPs are n'*nnc*k*(cs*c) MACs —
+half of a dense (n', n) weight-plane formulation (the round-1 negative
+result, PERF.md) because the one-hot contracts at CLUSTER granularity.
+
+Backward: custom_vjp with a Pallas kernel of the same structure (the
+scatter-add into d_feat becomes the one-hot transpose matmul, in VMEM,
+deterministic by construction), or the XLA reference chain's VJP under
+``MLAFF_MERGE_BWD=xla``. (Same split as the reference: its WF backward is
+two separate CUDA kernels, ``clustenwf_cuda_kernel.cu:96-169``.)
 """
 
 from __future__ import annotations
@@ -59,153 +72,146 @@ def _interpret() -> bool:
     return os.environ.get("MLAFF_PALLAS_INTERPRET", "0") == "1"
 
 
+def _nccj_column(ncc_all, j):
+    """(n', 1) int32: column ``j`` of the (n', nnc) index block, extracted
+    with a masked lane-reduction (no dynamic lane slicing)."""
+    n_, nnc = ncc_all.shape
+    lane = jax.lax.broadcasted_iota(jnp.int32, (n_, nnc), 1)
+    return jnp.sum(jnp.where(lane == j, ncc_all, 0), axis=1, keepdims=True)
+
+
+def _expand_mat(j, nnc, ic, c, dtype):
+    """E_j (nnc*ic, ic*c): E[r, i*c + c'] = (r == j*ic + i).
+
+    ``wjs @ E_j`` broadcasts weight column ``j*ic+i`` across output lane
+    block ``i`` — the MXU replacement for width-1 lane slices."""
+    r = jax.lax.broadcasted_iota(jnp.int32, (nnc * ic, ic * c), 0)
+    q = jax.lax.broadcasted_iota(jnp.int32, (nnc * ic, ic * c), 1)
+    return (r == j * ic + q // c).astype(dtype)
+
+
+def _reduce_mat(j, nnc, ic, c, dtype):
+    """R_j (ic*c, nnc*ic): R[i*c + c', j*ic + i'] = (i == i').
+
+    ``P @ R_j`` sums each ic*c lane block over its c lanes into weight
+    column ``j*ic+i`` — the transpose of ``E_j`` (d_weights path)."""
+    r = jax.lax.broadcasted_iota(jnp.int32, (ic * c, nnc * ic), 0)
+    q = jax.lax.broadcasted_iota(jnp.int32, (ic * c, nnc * ic), 1)
+    return (q == j * ic + r // c).astype(dtype)
+
+
+def _sum_i_mat(ic, c, dtype):
+    """Rm (ic*c, c): Rm[i*c + c', c''] = (c' == c'') — sums over i."""
+    r = jax.lax.broadcasted_iota(jnp.int32, (ic * c, c), 0)
+    q = jax.lax.broadcasted_iota(jnp.int32, (ic * c, c), 1)
+    return (r % c == q).astype(dtype)
+
+
 def _merge_fwd_kernel(w_ref, feat_ref, ncc_ref, out_ref, *, cs: int,
                       ic: int, hiprec: bool):
-    gb, k, csc = feat_ref.shape
-    c = csc // cs
-    n_ = w_ref.shape[1]
+    gb, _, k, c = feat_ref.shape
+    n_ = w_ref.shape[2]
     nnc = ncc_ref.shape[2]
     prec = jax.lax.Precision.HIGHEST if hiprec else None
+    cdt = jnp.float32 if hiprec else jnp.bfloat16
     for bi in range(gb):
-        featc = feat_ref[bi]  # (k, cs*c) resident
+        ncc_all = ncc_ref[bi]  # (n', nnc)
         kiota = jax.lax.broadcasted_iota(jnp.int32, (n_, k), 1)
-        accs = [jnp.zeros((n_, c), jnp.float32) for _ in range(ic)]
-        for j in range(nnc):
-            oh = (kiota == ncc_ref[bi, :, j:j + 1]).astype(featc.dtype)
-            gj = jax.lax.dot_general(
-                oh, featc, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32, precision=prec,
-            )  # (n_, cs*c): cluster ncc[t, j]'s rows, f32
-            for s in range(cs):
-                gsc = gj[:, s * c:(s + 1) * c]  # (n_, c) lane slice
-                base = (j * cs + s) * ic
-                for i in range(ic):
-                    wv = w_ref[bi, :, base + i:base + i + 1].astype(
-                        jnp.float32
-                    )  # (n_, 1) sublane vector
-                    accs[i] = accs[i] + wv * gsc
-        for i in range(ic):
-            out_ref[bi, :, i * c:(i + 1) * c] = accs[i].astype(out_ref.dtype)
+
+        def jbody(j, acc):
+            oh = (kiota == _nccj_column(ncc_all, j)).astype(cdt)
+            ej = _expand_mat(j, nnc, ic, c, cdt)
+
+            def sbody(s, acc):
+                gs = jax.lax.dot_general(
+                    oh, feat_ref[bi, s], (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32, precision=prec,
+                )  # (n', c) = rows s of clusters ncc[:, j], f32
+                we = jax.lax.dot_general(
+                    w_ref[bi, s], ej, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32, precision=prec,
+                )  # (n', ic*c): w[:, (j,s,i)] broadcast over lane block i
+                gtile = jnp.concatenate([gs] * ic, axis=1)
+                return acc + we * gtile
+
+            return jax.lax.fori_loop(0, cs, sbody, acc)
+
+        acc = jax.lax.fori_loop(
+            0, nnc, jbody, jnp.zeros((n_, ic * c), jnp.float32)
+        )
+        out_ref[bi] = acc.astype(out_ref.dtype)
 
 
 def _merge_bwd_kernel(w_ref, feat_ref, ncc_ref, g_ref, dw_ref, dfeat_ref,
                       *, cs: int, ic: int, hiprec: bool):
     """Backward of the fused merge, same in-VMEM structure as forward.
 
-    d_w[t,(j,s),i] = sum_c g[t,i,c] * (oh_j @ featc)[t, s*c+c]
-    d_featc       += sum_j oh_j^T @ M_j,
-        M_j[t, s*c+c] = sum_i w[t,(j,s),i] * g[t,i,c]
+    d_w[t,(j,s),i] = sum_c g[t,i,c] * gs_j[t, c]
+    d_feat_s      += sum_j oh_j^T @ M_js,
+        M_js[t, c] = sum_i w[t,(j,s),i] * g[t,i,c]
 
     The reference splits its WF backward the same way into a dense
     d_weights kernel and a scatter-add d_feat kernel
     (``clustenwf_cuda_kernel.cu:96-169``); the scatter-add becomes the
     one-hot transpose matmul, in VMEM, deterministic by construction.
+    Disjoint weight columns are written per ``j`` via read-modify-write
+    (exact: every slab is only touched once); d_feat accumulates in a
+    float32 ref.
     """
-    gb, k, csc = feat_ref.shape
-    c = csc // cs
-    n_ = w_ref.shape[1]
+    gb, _, k, c = feat_ref.shape
+    n_ = w_ref.shape[2]
     nnc = ncc_ref.shape[2]
     prec = jax.lax.Precision.HIGHEST if hiprec else None
+    cdt = jnp.float32 if hiprec else jnp.bfloat16
+    rm = _sum_i_mat(ic, c, cdt)
     for bi in range(gb):
-        featc = feat_ref[bi]
+        ncc_all = ncc_ref[bi]
         kiota = jax.lax.broadcasted_iota(jnp.int32, (n_, k), 1)
-        gsl = [
-            g_ref[bi, :, i * c:(i + 1) * c].astype(jnp.float32)
-            for i in range(ic)
-        ]
-        dfeat = jnp.zeros((k, csc), jnp.float32)
-        for j in range(nnc):
-            oh = (kiota == ncc_ref[bi, :, j:j + 1]).astype(featc.dtype)
-            gj = jax.lax.dot_general(
-                oh, featc, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32, precision=prec,
-            )  # (n_, cs*c)
-            m_cols = []
-            dw_cols = []
-            for s in range(cs):
-                gj_s = gj[:, s * c:(s + 1) * c]
-                acc_s = jnp.zeros((n_, c), jnp.float32)
-                for i in range(ic):
-                    col = ((j * cs + s) * ic + i)
-                    wv = w_ref[bi, :, col:col + 1].astype(jnp.float32)
-                    acc_s = acc_s + wv * gsl[i]
-                    dw_cols.append(
-                        (gsl[i] * gj_s).sum(axis=1, keepdims=True)
-                    )
-                m_cols.append(acc_s)
-            dw_ref[bi, :, j * cs * ic:(j + 1) * cs * ic] = (
-                jnp.concatenate(dw_cols, axis=1).astype(dw_ref.dtype)
-            )
-            mj = jnp.concatenate(m_cols, axis=1).astype(featc.dtype)
-            dfeat = dfeat + jax.lax.dot_general(
-                oh, mj, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32, precision=prec,
-            )
-        dfeat_ref[bi] = dfeat.astype(dfeat_ref.dtype)
+        gall = g_ref[bi]  # (n', ic*c)
+        for s in range(cs):
+            dw_ref[bi, s] = jnp.zeros(dw_ref.shape[2:], dw_ref.dtype)
+            dfeat_ref[bi, s] = jnp.zeros(dfeat_ref.shape[2:],
+                                         dfeat_ref.dtype)
 
+        def jbody(j, _):
+            oh = (kiota == _nccj_column(ncc_all, j)).astype(cdt)
+            ej = _expand_mat(j, nnc, ic, c, cdt)
+            rj = _reduce_mat(j, nnc, ic, c, cdt)
 
-def _merge_bwd_impl(weights, feat, ncc, cluster_size, g):
-    b, n_, m, ic = weights.shape
-    n, c = feat.shape[1], feat.shape[2]
-    nnc = ncc.shape[-1]
-    cs = cluster_size
-    k = -(-n // cs)
-    featc = _pad_axis(feat, 1, k * cs).reshape(b, k, cs * c)
-    n_pad = -(-n_ // 8) * 8
-    w3 = _pad_axis(weights.reshape(b, n_, m * ic), 1, n_pad)
-    nccp = _pad_axis(ncc, 1, n_pad)
-    g3 = _pad_axis(
-        g.reshape(b, n_, ic * c).astype(weights.dtype), 1, n_pad
-    )
+            def sbody(s, _):
+                gs = jax.lax.dot_general(
+                    oh, feat_ref[bi, s], (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32, precision=prec,
+                )  # (n', c)
+                gstile = jnp.concatenate([gs] * ic, axis=1)  # (n', ic*c)
+                # d_w columns j*ic+i: sum_c g_i * gs  (P @ R_j)
+                dws = jax.lax.dot_general(
+                    (gall * gstile.astype(gall.dtype)), rj,
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32, precision=prec,
+                )  # (n', nnc*ic), nonzero only in this j's columns
+                dw_ref[bi, s] = (
+                    dw_ref[bi, s] + dws.astype(dw_ref.dtype)
+                )
+                # M_js = sum_i w[:, (j,s,i)] * g_i  ((WE . g) @ Rm)
+                we = jax.lax.dot_general(
+                    w_ref[bi, s], ej, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32, precision=prec,
+                )
+                mjs = jax.lax.dot_general(
+                    (we * gall.astype(jnp.float32)).astype(cdt), rm,
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32, precision=prec,
+                )  # (n', c)
+                dfeat_ref[bi, s] = dfeat_ref[bi, s] + jax.lax.dot_general(
+                    oh, mjs.astype(cdt), (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32, precision=prec,
+                ).astype(dfeat_ref.dtype)
+                return 0
 
-    per_image = (
-        k * cs * c * 2 * 2          # featc + M_j
-        + n_pad * cs * c * 4        # G_j f32
-        + n_pad * max(k, 128) * 2   # onehot
-        + 2 * n_pad * max(m * ic, 256) * 2  # w3 + dw
-        + n_pad * max(ic * c, 128) * 2     # g3
-        + k * cs * c * 4            # dfeat acc
-    )
-    budget = int(os.environ.get("MLAFF_MERGE_BUDGET_MB", "10")) * 2**20
-    gb = 1
-    while gb < 8 and gb * 2 <= b and b % (gb * 2) == 0 \
-            and gb * 2 * per_image <= budget:
-        gb *= 2
+            return jax.lax.fori_loop(0, cs, sbody, 0)
 
-    kernel = functools.partial(
-        _merge_bwd_kernel, cs=cs, ic=ic,
-        hiprec=(weights.dtype == jnp.float32),
-    )
-    dw3, dfeatc = pl.pallas_call(
-        kernel,
-        grid=(b // gb,),
-        in_specs=[
-            pl.BlockSpec((gb, n_pad, m * ic), lambda i: (i, 0, 0)),
-            pl.BlockSpec((gb, k, cs * c), lambda i: (i, 0, 0)),
-            pl.BlockSpec((gb, n_pad, nnc), lambda i: (i, 0, 0)),
-            pl.BlockSpec((gb, n_pad, ic * c), lambda i: (i, 0, 0)),
-        ],
-        out_specs=[
-            pl.BlockSpec((gb, n_pad, m * ic), lambda i: (i, 0, 0)),
-            pl.BlockSpec((gb, k, cs * c), lambda i: (i, 0, 0)),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((b, n_pad, m * ic), weights.dtype),
-            jax.ShapeDtypeStruct((b, k, cs * c), jnp.float32),
-        ],
-        interpret=_interpret(),
-    )(w3, featc, nccp, g3)
-    dw = dw3[:, :n_].reshape(b, n_, m, ic)
-    dfeat = dfeatc.reshape(b, k * cs, c)[:, :n].astype(feat.dtype)
-    return dw, dfeat
-
-
-def _merge_ref(weights, feat, ncc, cluster_size):
-    """XLA reference semantics (identical math): gather + contract."""
-    feat_g = gather_clusters_onehot(
-        feat[:, None].astype(weights.dtype), ncc, cluster_size
-    )[:, 0]
-    return wf_contract(weights, feat_g)
+        jax.lax.fori_loop(0, nnc, jbody, 0)
 
 
 def _pad_axis(x, axis, target):
@@ -217,32 +223,65 @@ def _pad_axis(x, axis, target):
     return jnp.pad(x, pad)
 
 
+def _layouts(weights, feat, ncc, cs):
+    """Host-side re-layouts: s to a leading (Mosaic-indexable) dim."""
+    b, n_, m, ic = weights.shape
+    n, c = feat.shape[1], feat.shape[2]
+    nnc = ncc.shape[-1]
+    k = -(-n // cs)
+    n_pad = -(-n_ // 8) * 8
+    # feat (b, n, c) -> (b, cs, k, c): row kk*cs+s lands at [b, s, kk]
+    feat4 = (
+        _pad_axis(feat, 1, k * cs)
+        .reshape(b, k, cs, c)
+        .transpose(0, 2, 1, 3)
+    )
+    # weights (b, n', nnc*cs, ic) -> (b, cs, n'_pad, nnc*ic)
+    w4 = (
+        _pad_axis(weights.reshape(b, n_, nnc, cs, ic), 1, n_pad)
+        .transpose(0, 3, 1, 2, 4)
+        .reshape(b, cs, n_pad, nnc * ic)
+    )
+    nccp = _pad_axis(ncc, 1, n_pad)
+    return feat4, w4, nccp, k, n_pad
+
+
+def _pick_gb(b, per_image):
+    budget = int(os.environ.get("MLAFF_MERGE_BUDGET_MB", "8")) * 2**20
+    gb = 1
+    while gb < 4 and gb * 2 <= b and b % (gb * 2) == 0 \
+            and gb * 2 * per_image <= budget:
+        gb *= 2
+    return gb
+
+
+def _stack_model(n_, k, cs, c, ic, nnc, itemsize):
+    """Per-image scoped-VMEM estimate for the rolled-loop kernel body.
+
+    Everything n'-rows-tall is lane-padded to 128 by Mosaic, so count
+    max(lanes, 128); the fori bodies reuse their stack across iterations
+    so only ONE (j, s) iteration is live at a time."""
+    lane = 128
+    f32 = 4
+    return (
+        n_ * max(k, lane) * itemsize      # one-hot
+        + n_ * max(ic * c, lane) * f32 * 3  # acc + we + gtile
+        + n_ * max(c, lane) * f32         # gs
+        + n_ * max(nnc * ic, lane) * f32  # wjs load / dws
+        + n_ * max(nnc, lane) * 4 * 2     # ncc block + masked temp
+        + k * max(c, lane) * itemsize     # feat slab
+    )
+
+
 def _merge_fwd_impl(weights, feat, ncc, cluster_size):
     b, n_, m, ic = weights.shape
     n, c = feat.shape[1], feat.shape[2]
     nnc = ncc.shape[-1]
     cs = cluster_size
     assert m == nnc * cs, f"m={m} != nnc*cs={nnc}*{cs}"
-    k = -(-n // cs)
-    featc = _pad_axis(feat, 1, k * cs).reshape(b, k, cs * c)
-    # (n', m, ic) -> (n', nnc*cs*ic): row-major, zero-cost
-    n_pad = -(-n_ // 8) * 8
-    w3 = _pad_axis(weights.reshape(b, n_, m * ic), 1, n_pad)
-    nccp = _pad_axis(ncc, 1, n_pad)
-
-    # images per instance, VMEM-bounded: featc + G_j + onehot + w3 + accs
-    per_image = (
-        k * cs * c * 2            # featc bf16
-        + n_pad * cs * c * 4      # G_j f32
-        + n_pad * max(k, 128) * 2   # onehot bf16 (lane-padded)
-        + n_pad * max(m * ic, 256) * 2  # w3
-        + (ic + 1) * n_pad * max(c, 128) * 4  # accs + out
-    )
-    budget = int(os.environ.get("MLAFF_MERGE_BUDGET_MB", "10")) * 2**20
-    gb = 1
-    while gb < 8 and gb * 2 <= b and b % (gb * 2) == 0 \
-            and gb * 2 * per_image <= budget:
-        gb *= 2
+    feat4, w4, nccp, k, n_pad = _layouts(weights, feat, ncc, cs)
+    gb = _pick_gb(b, _stack_model(n_pad, k, cs, c, ic, nnc,
+                                  feat4.dtype.itemsize))
 
     kernel = functools.partial(
         _merge_fwd_kernel, cs=cs, ic=ic,
@@ -252,15 +291,71 @@ def _merge_fwd_impl(weights, feat, ncc, cluster_size):
         kernel,
         grid=(b // gb,),
         in_specs=[
-            pl.BlockSpec((gb, n_pad, m * ic), lambda i: (i, 0, 0)),
-            pl.BlockSpec((gb, k, cs * c), lambda i: (i, 0, 0)),
+            pl.BlockSpec((gb, cs, n_pad, nnc * ic), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((gb, cs, k, c), lambda i: (i, 0, 0, 0)),
             pl.BlockSpec((gb, n_pad, nnc), lambda i: (i, 0, 0)),
         ],
         out_specs=pl.BlockSpec((gb, n_pad, ic * c), lambda i: (i, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((b, n_pad, ic * c), weights.dtype),
         interpret=_interpret(),
-    )(w3, featc, nccp)
+    )(w4, feat4, nccp)
     return out[:, :n_].reshape(b, n_, ic, c)
+
+
+def _merge_bwd_impl(weights, feat, ncc, cluster_size, g):
+    b, n_, m, ic = weights.shape
+    n, c = feat.shape[1], feat.shape[2]
+    nnc = ncc.shape[-1]
+    cs = cluster_size
+    feat4, w4, nccp, k, n_pad = _layouts(weights, feat, ncc, cs)
+    g3 = _pad_axis(
+        g.reshape(b, n_, ic * c).astype(weights.dtype), 1, n_pad
+    )
+    gb = _pick_gb(b, _stack_model(n_pad, k, cs, c, ic, nnc,
+                                  feat4.dtype.itemsize) * 2)
+
+    kernel = functools.partial(
+        _merge_bwd_kernel, cs=cs, ic=ic,
+        hiprec=(weights.dtype == jnp.float32),
+    )
+    dw4, dfeat4 = pl.pallas_call(
+        kernel,
+        grid=(b // gb,),
+        in_specs=[
+            pl.BlockSpec((gb, cs, n_pad, nnc * ic), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((gb, cs, k, c), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((gb, n_pad, nnc), lambda i: (i, 0, 0)),
+            pl.BlockSpec((gb, n_pad, ic * c), lambda i: (i, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((gb, cs, n_pad, nnc * ic), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((gb, cs, k, c), lambda i: (i, 0, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, cs, n_pad, nnc * ic), weights.dtype),
+            jax.ShapeDtypeStruct((b, cs, k, c), jnp.float32),
+        ],
+        interpret=_interpret(),
+    )(w4, feat4, nccp, g3)
+    dw = (
+        dw4.reshape(b, cs, n_pad, nnc, ic)
+        .transpose(0, 2, 3, 1, 4)
+        .reshape(b, n_pad, m, ic)[:, :n_]
+    )
+    dfeat = (
+        dfeat4.transpose(0, 2, 1, 3)
+        .reshape(b, k * cs, c)[:, :n]
+        .astype(feat.dtype)
+    )
+    return dw, dfeat
+
+
+def _merge_ref(weights, feat, ncc, cluster_size):
+    """XLA reference semantics (identical math): gather + contract."""
+    feat_g = gather_clusters_onehot(
+        feat[:, None].astype(weights.dtype), ncc, cluster_size
+    )[:, 0]
+    return wf_contract(weights, feat_g)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
