@@ -131,7 +131,10 @@ class LayerNormFp32(nn.Module):
     30-60x off memory roofline at AFF shapes (a (128,784,192) LN costs
     ~1.15 ms on v5e; the models carry ~60 LNs). Lowering the two sums as
     ``(rows, c) @ (c, 1)`` matmuls puts them on the otherwise-idle MXU at
-    memory speed. ``MLAFF_LN=vpu`` restores the plain reduce lowering.
+    memory speed — in isolation. The model-level A/B (PERF.md, 2026-08-19:
+    dot 2467 vs vpu 2483 img/s on AFF-Mini) and the six-shape microbench
+    both favor the plain reduce, so ``vpu`` is the default and
+    ``MLAFF_LN=dot`` opts into the MXU lowering.
 
     Parameters are named ``scale``/``bias`` with flax.linen.LayerNorm's
     shapes and inits, so checkpoints and the .pth importer see an
@@ -148,7 +151,7 @@ class LayerNormFp32(nn.Module):
         scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
         x32 = x.astype(jnp.float32)
-        if os.environ.get("MLAFF_LN", "dot") == "dot":
+        if os.environ.get("MLAFF_LN", "vpu") == "dot":
             lead = x32.shape[:-1]
             xf = x32.reshape(-1, c)
             ones = jnp.full((c, 1), 1.0 / c, jnp.float32)
