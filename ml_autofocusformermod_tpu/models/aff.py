@@ -12,6 +12,7 @@ and enters the program as constants (reference caches it as module state,
 from __future__ import annotations
 
 import math
+import os
 from typing import Any, Optional, Sequence, Tuple
 
 import flax.linen as nn
@@ -78,6 +79,15 @@ class BasicLayer(nn.Module):
         assert self.cluster_size > 0, "cluster_size must be positive"
         R = self.rel_pos_width
         static_ncc = None
+        # Per-stage kernel routing: stages at or below MLAFF_XLA_NMAX tokens
+        # take the XLA gather/einsum attention path instead of the Pallas
+        # kernel. At small n the kernel's per-(image, head) plane loop is
+        # instruction-issue bound (PERF.md: Small stage 3 is 18 blocks at
+        # n=196, ~2 us per (image, head) regardless of grouping) while XLA
+        # lowers the same math as large batched MXU matmuls. 0 = off.
+        use_pallas = self.use_pallas and not (
+            0 < n <= int(os.environ.get("MLAFF_XLA_NMAX", "0"))
+        )
         static_pos = None
 
         if self.nbhd_size >= n:
@@ -161,7 +171,7 @@ class BasicLayer(nn.Module):
             else:
                 cluster_mask = None
 
-            if self.use_pallas:
+            if use_pallas:
                 rel_pos = None  # the fused kernel computes bias from pos
             else:
                 # clusters are contiguous rows after the reorder, so the pos
@@ -173,7 +183,7 @@ class BasicLayer(nn.Module):
 
         ncc = None if global_attn else nearest_cluster
         csize = 0 if global_attn else m
-        fused = self.use_pallas and not global_attn
+        fused = use_pallas and not global_attn
         pe_feat = None if fused else rel_pos_features(rel_pos, R)
 
         # sequence-parallel layout hint: shard the token axis over the mesh
@@ -203,7 +213,7 @@ class BasicLayer(nn.Module):
                 attn_drop=self.attn_drop,
                 drop_path=dp,
                 layer_scale=self.layer_scale,
-                use_pallas=self.use_pallas,
+                use_pallas=use_pallas,
                 rel_pos_width=R,
                 dtype=self.dtype,
                 name=f"blocks_{i_blk}",

@@ -308,3 +308,29 @@ def test_pallas_backward_kernel_interpret_parity(monkeypatch):
         assert np.abs(np.asarray(a, np.float32)).max() > 0, (
             f"grad {name} is identically zero"
         )
+
+
+def test_xla_nmax_stage_routing_matches(monkeypatch):
+    """MLAFF_XLA_NMAX routes small-n stages to the XLA attention path;
+    outputs must match the all-Pallas forward (both sub-paths are pinned
+    vs the torch oracle individually; this pins the router itself)."""
+    from ml_autofocusformermod_tpu.models.aff import AutoFocusFormer
+
+    common = dict(
+        num_classes=10, embed_dim=(16, 32, 48, 64), cluster_size=4,
+        nbhd_size=(8, 8, 4, 49), depths=(1, 1, 1, 1), num_heads=(2, 2, 4, 4),
+        img_size=56, dtype=jnp.float32,
+    )
+    m = AutoFocusFormer(use_pallas=True, **common)
+    x = jax.random.normal(jax.random.PRNGKey(3), (2, 56, 56, 3))
+    v = m.init(jax.random.PRNGKey(0), x[:1], training=False)
+    with jax.default_matmul_precision("highest"):
+        monkeypatch.setenv("MLAFF_XLA_NMAX", "0")
+        o_pallas = m.apply(v, x, training=False)
+        # 56x56/16 = 196 tokens at stage 2 -> stages 2..4 take the XLA path,
+        # stage 1 (784 tokens) stays on the kernel
+        monkeypatch.setenv("MLAFF_XLA_NMAX", "200")
+        o_routed = m.apply(v, x, training=False)
+    np.testing.assert_allclose(
+        np.asarray(o_routed), np.asarray(o_pallas), atol=1e-5, rtol=1e-4
+    )
