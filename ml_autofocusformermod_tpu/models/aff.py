@@ -88,6 +88,9 @@ class BasicLayer(nn.Module):
         use_pallas = self.use_pallas and not (
             0 < n <= int(os.environ.get("MLAFF_XLA_NMAX", "0"))
         )
+        # Masked-dense routing (see below): stages this small skip the
+        # neighborhood-gathered rel-pos entirely.
+        dense_nmax = int(os.environ.get("MLAFF_DENSE_NMAX", "0"))
         static_pos = None
 
         if self.nbhd_size >= n:
@@ -171,8 +174,8 @@ class BasicLayer(nn.Module):
             else:
                 cluster_mask = None
 
-            if use_pallas:
-                rel_pos = None  # the fused kernel computes bias from pos
+            if use_pallas or (0 < n <= dense_nmax):
+                rel_pos = None  # fused kernel / dense routing: bias from pos
             else:
                 # clusters are contiguous rows after the reorder, so the pos
                 # neighborhood gather rides the MXU (one-hot over clusters)
@@ -183,8 +186,38 @@ class BasicLayer(nn.Module):
 
         ncc = None if global_attn else nearest_cluster
         csize = 0 if global_attn else m
-        fused = use_pallas and not global_attn
-        pe_feat = None if fused else rel_pos_features(rel_pos, R)
+
+        # Masked-dense routing: at small n the neighborhood formulations
+        # (Pallas plane loop OR XLA one-hot gathers) are issue-/bandwidth-
+        # bound, while attention over ALL n tokens with the neighborhood
+        # folded in as a -100 additive mask is ONE large batched MXU matmul
+        # with no gathers at all (the gathered path materializes
+        # (b, h, n, m, c_) K/V — ~0.9 GB per tensor at Small stage 3).
+        # exp(-100) vanishes under the f32 softmax, so this is numerically
+        # the gathered path (parity-pinned in tests). Merge still uses the
+        # clustered geometry computed above. 0 = off (default).
+        dense_local = not global_attn and 0 < n <= dense_nmax
+        if dense_local:
+            kc = int(math.ceil(n / float(m)))
+            # token j visible to token i iff cluster(j) in ncc[i, :]
+            # (clusters are contiguous rows of m after the reorder)
+            in_ncc = (
+                nearest_cluster[..., None]
+                == jnp.arange(kc, dtype=nearest_cluster.dtype)
+            ).any(axis=2)  # b x n x k
+            nbhd_mask = jnp.repeat(in_ncc, m, axis=2)[:, :, :n]  # b x n x n
+            rel_pos = (pos[:, None, :, :] + R) - pos[:, :, None, :]
+            blk_global, blk_member, blk_mask = True, None, nbhd_mask
+            blk_ncc, blk_csize, blk_pe = None, 0, rel_pos_features(rel_pos, R)
+            fused = False
+        else:
+            blk_global, blk_member, blk_mask = (
+                global_attn, member_idx, cluster_mask,
+            )
+            blk_ncc, blk_csize = ncc, csize
+            fused = use_pallas and not global_attn
+            blk_pe = None if fused else rel_pos_features(rel_pos, R)
+        pe_feat = blk_pe
 
         # sequence-parallel layout hint: shard the token axis over the mesh
         # `seq` axis (no-op without one in context, parallel/mesh.py)
@@ -217,8 +250,8 @@ class BasicLayer(nn.Module):
                 rel_pos_width=R,
                 dtype=self.dtype,
                 name=f"blocks_{i_blk}",
-            )(feat, member_idx, cluster_mask, global_attn, pe_feat,
-              deterministic, ncc, csize, pos, static_ncc, static_pos)
+            )(feat, blk_member, blk_mask, blk_global, pe_feat,
+              deterministic, blk_ncc, blk_csize, pos, static_ncc, static_pos)
             feat = shard_tokens(feat)
 
         if self.out_dim is not None:

@@ -347,7 +347,15 @@ class ClusterAttention(nn.Module):
                 attn = jnp.einsum(
                     "bhic,bhjc->bhij", q, key, preferred_element_type=self.dtype
                 )
-                mask = None
+                # masked-dense mode (MLAFF_DENSE_NMAX routing): cluster_mask
+                # is a (b, n, n) neighborhood mask — non-neighbors get the
+                # same -100 additive mask the gathered path applies to
+                # padded slots (exp(-100) vanishes under the f32 softmax)
+                mask = (
+                    None
+                    if cluster_mask is None
+                    else cluster_mask.reshape(b, 1, n, n)
+                )
                 key_g = v_g = None
             else:
                 mask = cluster_mask

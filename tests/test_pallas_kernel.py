@@ -334,3 +334,28 @@ def test_xla_nmax_stage_routing_matches(monkeypatch):
     np.testing.assert_allclose(
         np.asarray(o_routed), np.asarray(o_pallas), atol=1e-5, rtol=1e-4
     )
+
+
+def test_dense_nmax_masked_dense_matches(monkeypatch):
+    """MLAFF_DENSE_NMAX routes small-n local stages to masked-dense
+    attention (one batched matmul over all n tokens, non-neighbors masked
+    with -100). exp(-100) vanishes under the f32 softmax, so outputs must
+    match the gathered-neighborhood formulation."""
+    from ml_autofocusformermod_tpu.models.aff import AutoFocusFormer
+
+    common = dict(
+        num_classes=10, embed_dim=(16, 32, 48, 64), cluster_size=4,
+        nbhd_size=(8, 8, 4, 49), depths=(1, 1, 1, 1), num_heads=(2, 2, 4, 4),
+        img_size=56, dtype=jnp.float32,
+    )
+    m = AutoFocusFormer(use_pallas=False, **common)
+    x = jax.random.normal(jax.random.PRNGKey(4), (2, 56, 56, 3))
+    v = m.init(jax.random.PRNGKey(0), x[:1], training=False)
+    with jax.default_matmul_precision("highest"):
+        monkeypatch.setenv("MLAFF_DENSE_NMAX", "0")
+        o_gather = m.apply(v, x, training=False)
+        monkeypatch.setenv("MLAFF_DENSE_NMAX", "200")
+        o_dense = m.apply(v, x, training=False)
+    np.testing.assert_allclose(
+        np.asarray(o_dense), np.asarray(o_gather), atol=1e-5, rtol=1e-4
+    )
