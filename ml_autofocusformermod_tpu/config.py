@@ -247,6 +247,11 @@ def default_config() -> CfgNode:
     # '' = off, 'blocks' = full per-block remat, 'dots' = keep matmul
     # outputs, recompute elementwise interior (models/layers.py::remat_wrap)
     c.TPU.REMAT = ""
+    # per-preset lowering knobs (A/B winners differ per model; see PERF.md).
+    # '' keeps the code default / any MLAFF_* env override. WF_MODE: the
+    # ClusterMerging WF contraction lowering ('vpu'|'ic'|'einsum') — 'ic'
+    # wins on AFF-Mini (+1.2%) but loses on Small (-2%).
+    c.TPU.WF_MODE = ""
 
     c.AMP_ENABLE = True
     c.OUTPUT = ""

@@ -60,6 +60,7 @@ class BasicLayer(nn.Module):
     layer_scale: float = 0.0
     rel_pos_width: int = 55
     use_pallas: bool = False
+    wf_mode: str = ""  # ClusterMerging WF lowering ('' = default)
     remat: str = ""  # '' | 'blocks' | 'dots' (models/layers.py::remat_wrap)
     dtype: Dtype = jnp.float32
 
@@ -278,6 +279,7 @@ class BasicLayer(nn.Module):
                 ds_rate=self.ds_rate,
                 reserve_on=self.reserve_on,
                 rel_pos_width=R,
+                wf_mode=self.wf_mode,
                 dtype=self.dtype,
                 name="downsample",
             )(pos, feat, member_idx, cluster_mask, learned_prob, stride,
@@ -307,6 +309,7 @@ class AutoFocusFormer(nn.Module):
     layer_scale: float = 0.0
     img_size: int = 224
     use_pallas: bool = False
+    wf_mode: str = ""  # ClusterMerging WF lowering ('' = default)
     remat: str = ""  # rematerialize blocks in backward (layers.py::remat_wrap)
     dtype: Dtype = jnp.float32
 
@@ -353,6 +356,7 @@ class AutoFocusFormer(nn.Module):
                 layer_scale=self.layer_scale,
                 rel_pos_width=R,
                 use_pallas=self.use_pallas,
+                wf_mode=self.wf_mode,
                 remat=self.remat,
                 dtype=self.dtype,
                 name=f"layers_{i_layer}",

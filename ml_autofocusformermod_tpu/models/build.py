@@ -24,6 +24,10 @@ def build_model(config, upscale_ratios=None):
     """
     model_type = config.MODEL.TYPE
     dtype = _DTYPES[config.TPU.COMPUTE_DTYPE]
+    # Per-preset lowering winner (config.py TPU.WF_MODE), threaded as a
+    # module attribute; an explicit MLAFF_WF_MODE env still wins at trace
+    # time (ops/clusten.py::wf_contract — A/B sweeps set the env directly).
+    wf_mode = str(getattr(config.TPU, "WF_MODE", "") or "")
     # The fused Pallas attention kernel is a custom call XLA's SPMD
     # partitioner cannot split over the mesh `model`/`seq` axes; with
     # tensor or sequence parallelism active, use the XLA einsum path
@@ -54,6 +58,7 @@ def build_model(config, upscale_ratios=None):
             layer_scale=aff.LAYER_SCALE,
             img_size=config.DATA.IMG_SIZE,
             use_pallas=use_pallas,
+            wf_mode=wf_mode,
             remat=str(config.TPU.REMAT),
             dtype=dtype,
         )

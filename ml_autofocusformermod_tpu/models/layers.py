@@ -511,6 +511,7 @@ class ClusterMerging(nn.Module):
     ds_rate: float = 0.25
     reserve_on: bool = True
     rel_pos_width: int = 55
+    wf_mode: str = ""  # '' = env/code default (ops/clusten.py::wf_contract)
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -651,7 +652,8 @@ class ClusterMerging(nn.Module):
                 feat_g = gather_clusters_onehot(
                     feat[:, None], sel_ncc, cluster_size
                 )[:, 0]  # b x n' x m x c
-                merged = wf_contract(weights, feat_g.astype(weights.dtype))
+                merged = wf_contract(weights, feat_g.astype(weights.dtype),
+                                     mode=self.wf_mode)
         else:
             merged = clusten_wf(weights, feat, sel_member_idx)  # b n' ic c
         merged = merged.reshape(b, keep_num, inner_ch * c)

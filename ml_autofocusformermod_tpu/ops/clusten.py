@@ -30,7 +30,8 @@ __all__ = [
 ]
 
 
-def wf_contract(weights: jax.Array, feat_g: jax.Array) -> jax.Array:
+def wf_contract(weights: jax.Array, feat_g: jax.Array,
+                mode: str = "") -> jax.Array:
     """``out[b,n,ic,c] = sum_m weights[b,n,m,ic] * feat_g[b,n,m,c]``.
 
     The per-(b,n) contraction is a tiny (ic x m)@(m x c) matmul; XLA
@@ -42,7 +43,8 @@ def wf_contract(weights: jax.Array, feat_g: jax.Array) -> jax.Array:
     f32 (matching the MXU einsum's accumulator) and casts back.
     ``MLAFF_WF_MODE=einsum`` restores the batched-einsum lowering.
     """
-    mode = os.environ.get("MLAFF_WF_MODE", "vpu")
+    # explicit env (A/B sweeps) > config-threaded mode > code default
+    mode = os.environ.get("MLAFF_WF_MODE", "") or mode or "vpu"
     if mode == "ic":
         # per-inner-channel slices: ic (=4) rank-4 multiply+reduce
         # fusions, each consuming feat_g in its producer's layout. The
