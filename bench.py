@@ -11,7 +11,9 @@ import sys
 import time
 
 V100_BASELINE_FPS = 1337.0  # AFF-Mini, README.md:46
-BATCH = 128
+import os as _os
+
+BATCH = int(_os.environ.get("MLAFF_BATCH", "128"))
 
 
 def main() -> None:
