@@ -595,17 +595,27 @@ class ClusterMerging(nn.Module):
         # (aff_transformer.py:340)
         R = self.rel_pos_width
         if sel_ncc is not None:
-            aux = pos.astype(jnp.float32)
-            if learned_prob is not None:
-                aux = jnp.concatenate(
-                    [aux, learned_prob.astype(jnp.float32)], axis=-1
-                )
-            aux_g = gather_clusters_onehot(
-                aux[:, None], sel_ncc, cluster_size
-            )[:, 0]  # b x n' x m x (d [+ 1])
-            pos_g = aux_g[..., :d]
-            if learned_prob is not None:
-                lp = aux_g[..., d:]  # b x n' x m x 1
+            if os.environ.get("MLAFF_AUX_GATHER", "fused") == "fused":
+                aux = pos.astype(jnp.float32)
+                if learned_prob is not None:
+                    aux = jnp.concatenate(
+                        [aux, learned_prob.astype(jnp.float32)], axis=-1
+                    )
+                aux_g = gather_clusters_onehot(
+                    aux[:, None], sel_ncc, cluster_size
+                )[:, 0]  # b x n' x m x (d [+ 1])
+                pos_g = aux_g[..., :d]
+                if learned_prob is not None:
+                    lp = aux_g[..., d:]  # b x n' x m x 1
+            else:
+                # split-gather A/B path (pre-c5ad098 shape)
+                if learned_prob is not None:
+                    lp = gather_clusters_onehot(
+                        learned_prob[:, None], sel_ncc, cluster_size
+                    )[:, 0]
+                pos_g = gather_clusters_onehot(
+                    pos[:, None], sel_ncc, cluster_size
+                )[:, 0]
         else:
             if learned_prob is not None:
                 lp = jnp.take_along_axis(

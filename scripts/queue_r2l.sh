@@ -7,18 +7,30 @@
 # compact A/Bs, preset table, train refreshes, profile.
 # Waits for the r2k script pid passed as $1.
 #
-# Stop marker: .queue_stop_r2k (shared with batch K)
+# Stop marker: .queue_stop_r2l
 cd "$(dirname "$0")/.."
 REPO=$PWD
 export PYTHONPATH=$PWD:/root/.axon_site
 export JAX_PLATFORMS=axon
 
-stop() { [ -e "$REPO/.queue_stop_r2k" ] && echo "=== STOPPED by .queue_stop_r2k $(date) ===" && exit 0; }
+stop() { [ -e "$REPO/.queue_stop_r2l" ] && echo "=== STOPPED by .queue_stop_r2l $(date) ===" && exit 0; }
 
 if [ -n "$1" ]; then
   echo "=== waiting for queue_r2k pid $1 $(date) ==="
   while kill -0 "$1" 2>/dev/null; do sleep 30; done
 fi
+rm -f "$REPO/.queue_stop_r2k"  # set to hand K's tail over to this batch
+
+# --- current-tree lowering disentangle: LN dot-vs-vpu x aux fused-vs-split
+# (2483 was measured before the aux-gather fusion c5ad098; vpu-LN + fused
+# measured 2465 — find which knob carries the -18 on TODAY's tree) ---
+stop; echo "=== [R2L-A1] mini fwd MLAFF_LN=dot (fused aux) $(date) ==="
+MLAFF_LN=dot timeout 3600 python bench.py
+stop; echo "=== [R2L-A2] mini fwd MLAFF_AUX_GATHER=split (vpu LN) $(date) ==="
+MLAFF_AUX_GATHER=split timeout 3600 python bench.py
+stop; echo "=== [R2L-A3] mini fwd MLAFF_LN=dot MLAFF_AUX_GATHER=split (the 2483 config) $(date) ==="
+MLAFF_LN=dot MLAFF_AUX_GATHER=split timeout 3600 python bench.py
+
 stop; echo "=== [R2L-7] small fwd DEFAULT refresh (LN=vpu) $(date) ==="
 timeout 3600 python scripts/bench_train.py fwd small
 stop; echo "=== [R2L-8] small fwd @ 39261d5 (pre-resident-K/V bisect, fori protocol) $(date) ==="
@@ -37,6 +49,8 @@ stop; echo "=== [R2L-13b] compact $(date) ==="
 MLAFF_COMPACT=1 timeout 3000 python scripts/bench_stage1.py 128
 stop; echo "=== [R2L-13c] bands $(date) ==="
 MLAFF_BANDS=1 timeout 3000 python scripts/bench_stage1.py 128
+stop; echo "=== [R2L-13d] bench.py MLAFF_COMPACT=1 (model-level) $(date) ==="
+MLAFF_COMPACT=1 timeout 3600 python bench.py
 for preset in tiny mini_1_5th tiny_1_5th small_1_5th; do
   stop; echo "=== [R2L-14] fwd $preset $(date) ==="
   timeout 5400 python scripts/bench_train.py fwd "$preset"
