@@ -588,14 +588,14 @@ class ClusterMerging(nn.Module):
             else None
         )
         # --- rel-pos features at the selected centers (.:336,343-350) ---
-        # one fused cluster gather for [pos, learned_prob] (f32 one-hot
-        # matmul is an exact row copy; bf16 lp round-trips exactly):
-        # halves the per-merge one-hot matmuls + HBM materializations.
-        # learned_prob is NOT detached here: pointconv weights carry grad
-        # (aff_transformer.py:340)
+        # MLAFF_AUX_GATHER=fused folds [pos, learned_prob] into one cluster
+        # gather; the chip A/B (R2N-A1..A3) measured fused-vs-split within
+        # noise (2465 vs 2475), so the simpler split gathers are the
+        # default. learned_prob is NOT detached here: pointconv weights
+        # carry grad (aff_transformer.py:340)
         R = self.rel_pos_width
         if sel_ncc is not None:
-            if os.environ.get("MLAFF_AUX_GATHER", "fused") == "fused":
+            if os.environ.get("MLAFF_AUX_GATHER", "split") == "fused":
                 aux = pos.astype(jnp.float32)
                 if learned_prob is not None:
                     aux = jnp.concatenate(
