@@ -275,16 +275,16 @@ def _static_compact(static_ncc, static_pos, n, tq, cs, np_, bs=16):
         return None
     starts = np.full((nt, u_pad), -1, np.int32)
     for ti, blocks in enumerate(per_tile):
-        starts[ti, : len(blocks)] = blocks * bs
+        starts[ti, : len(blocks)] = blocks  # bs-block units
     clc = np.full((nt, ucs), -1, np.int32)
     posc = np.zeros((nt, 2, ucs), np.float32)
     pos_np = np.asarray(static_pos, np.float32)
     rows_rel = np.arange(bs)
     for ti in range(nt):
         for ui in range(u_pad):
-            b0 = starts[ti, ui]
-            if b0 < 0:
+            if starts[ti, ui] < 0:
                 continue
+            b0 = starts[ti, ui] * bs
             rows = b0 + rows_rel
             valid = rows < n
             sl = slice(ui * bs, (ui + 1) * bs)
@@ -436,7 +436,10 @@ def _unpack_refs(refs, nb, wb, cu=0, cbs=0, scratch_kv=None):
         tail = refs[6:]
         ti = pl.program_id(1)
         for u in range(cu):
-            s = jnp.maximum(starts_ref[ti, u], 0)
+            # starts are in cbs-block units: the constant multiply makes
+            # the dynamic slice start provably sublane-aligned (Mosaic
+            # rejects a raw row offset it cannot prove % 8 == 0)
+            s = jnp.maximum(starts_ref[ti, u], 0) * cbs
             scratch_kv[:, u * cbs:(u + 1) * cbs, :] = (
                 kv_ref[:, pl.ds(s, cbs), :]
             )
@@ -1261,7 +1264,7 @@ def _bwd_kernel(*refs, h: int, cs: int, n_valid: int, rel_width: int,
         # dkv block (all images of the group at once per union block)
         tic = pl.program_id(1)
         for u in range(cu):
-            s = jnp.maximum(starts_ref[tic, u], 0)
+            s = jnp.maximum(starts_ref[tic, u], 0) * cbs
             dkv_ref[:, pl.ds(s, cbs), :] = (
                 dkv_ref[:, pl.ds(s, cbs), :]
                 + dkvc_ref[:, u * cbs:(u + 1) * cbs, :]
