@@ -808,9 +808,12 @@ def _attention_fwd_impl(q, kv, ncc, pos, pe_kernel, pe_bias, blank_k,
 
     # stacked dense path for the small-token stages (see
     # _fwd_kernel_stacked): image group folded into rows, one VPU chain
-    # per head instead of per (image, head)
+    # per head instead of per (image, head). DEFAULT ON since the chip
+    # A/B (R2N-C1/C4, 2026-08-19): mini fwd 2556 vs 2475, Small 1019 vs
+    # 961 img/s; stacked-vs-plain parity is exactly 0.0 on chip
+    # (scripts/parity_stack.py). MLAFF_STACK=0 restores the plain path.
     stacked = (
-        os.environ.get("MLAFF_STACK", "0") == "1"
+        os.environ.get("MLAFF_STACK", "1") == "1"
         and window is None and static_ncc is None and np_ <= 256
     )
     if stacked:
