@@ -814,7 +814,8 @@ def _attention_fwd_impl(q, kv, ncc, pos, pe_kernel, pe_bias, blank_k,
     # (scripts/parity_stack.py). MLAFF_STACK=0 restores the plain path.
     stacked = (
         os.environ.get("MLAFF_STACK", "1") == "1"
-        and window is None and static_ncc is None and np_ <= 256
+        and window is None and static_ncc is None
+        and np_ <= int(os.environ.get("MLAFF_STACK_NMAX", "256"))
     )
     if stacked:
         gb = _gb_for(
