@@ -884,6 +884,15 @@ def _attention_fwd_impl(q, kv, ncc, pos, pe_kernel, pe_bias, blank_k,
             b, np_ * 2 * c * 2 + np_ * np_ * 4 * 4,
             40 * 1024 * 1024, h=h, np_=np_,
         )
+        # dedicated cap: at np_ > 256 the tall f32 planes bust Mosaic's
+        # 100 MB scoped-VMEM stack at gb=4 (measured: 106 MB at n=784) —
+        # MLAFF_STACK_GB bounds only this path (MLAFF_GB_CAP is global
+        # and would also throttle the windowed stage-1 group size)
+        env = os.environ.get("MLAFF_STACK_GB")
+        if env:
+            gb = min(gb, int(env))
+            while b % gb:
+                gb -= 1
 
     # traced-window path for large data-dependent stages (see
     # _traced_window): per-(image, tile) K/V bands from the traced ncc,

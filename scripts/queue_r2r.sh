@@ -18,7 +18,7 @@ MLAFF_WSTACK=4 timeout 3600 python bench.py
 stop; echo "=== [R2R-3] small fwd MLAFF_WSTACK=2 $(date) ==="
 MLAFF_WSTACK=2 timeout 3600 python scripts/bench_train.py fwd small
 stop; echo "=== [R2R-4] mini fwd STACK_NMAX=800 GB_CAP=2 (fit scoped vmem) $(date) ==="
-MLAFF_STACK_NMAX=800 MLAFF_GB_CAP=2 timeout 3600 python bench.py
+MLAFF_STACK_NMAX=800 MLAFF_STACK_GB=2 timeout 3600 python bench.py
 stop; echo "=== [R2R-5] small fwd STACK_NMAX=800 GB_CAP=2 $(date) ==="
-MLAFF_STACK_NMAX=800 MLAFF_GB_CAP=2 timeout 3600 python scripts/bench_train.py fwd small
+MLAFF_STACK_NMAX=800 MLAFF_STACK_GB=2 timeout 3600 python scripts/bench_train.py fwd small
 echo "=== queue_r2r done $(date) ==="
