@@ -131,10 +131,17 @@ def main() -> None:
         file=sys.stderr,
     )
     float(fwd_chain(variables, images))  # warm
+    # Queue all timed reps asynchronously and read back ONE scalar at the
+    # end: executions on a single device run in dispatch order, so the last
+    # readback implies all reps completed. This keeps exactly one tunnel
+    # round-trip inside the timed window (a per-rep float() sync put ~3 RTTs
+    # in it, which showed up as ±5% VM-to-VM "throughput" swings on
+    # identical code). 3 reps x CHUNK=10 = 30 timed forwards, matching the
+    # reference's 30-iteration protocol (/root/reference/main.py:387-414).
     t1 = time.time()
     reps = 3
-    for _ in range(reps):
-        float(fwd_chain(variables, images))
+    accs = [fwd_chain(variables, images) for _ in range(reps)]
+    float(accs[-1])
     t2 = time.time()
     fps = reps * CHUNK * BATCH / (t2 - t1)
 

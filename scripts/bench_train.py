@@ -111,13 +111,19 @@ def fwd(preset: str) -> None:
 
 
 def _timed(fn, *args) -> float:
-    """Seconds per chained call (compile + warm first)."""
+    """Seconds per chained call (compile + warm first).
+
+    Timed reps are dispatched asynchronously and synced ONCE at the end
+    (single-device executions run in dispatch order), so only one tunnel
+    round-trip lands inside the timed window — a per-rep float() sync put
+    ~3 RTTs in it and showed up as ±5% VM-to-VM swings on identical code.
+    """
     float(fn(*args))
     float(fn(*args))
     t1 = time.time()
     reps = 3
-    for _ in range(reps):
-        float(fn(*args))
+    outs = [fn(*args) for _ in range(reps)]
+    float(outs[-1])
     t2 = time.time()
     return (t2 - t1) / reps
 
@@ -198,10 +204,15 @@ def mini_train() -> None:
         return new_state
 
     state = run(state)  # warm
+    # async-dispatch the timed reps, sync once on the last loss (ordered
+    # execution on one device) — keeps a single tunnel RTT in the window
     t1 = time.time()
     reps = 3
+    losses = []
     for _ in range(reps):
-        state = run(state)
+        state, loss = chain(state, images, labels)
+        losses.append(loss)
+    float(losses[-1])
     t2 = time.time()
     fps = reps * CHUNK * BATCH / (t2 - t1)
     print(json.dumps({
