@@ -130,16 +130,22 @@ def main() -> None:
         f"chain={os.environ.get('MLAFF_CHAIN', 'fori')}",
         file=sys.stderr,
     )
-    float(fwd_chain(variables, images))  # warm
+    # 4 warm chains + the compile chain = 50 warmup forwards, matching the
+    # reference protocol's 50 warmup iterations (main.py:387-414) — the
+    # first post-compile dispatches run before DVFS/caches settle.
+    warm = [fwd_chain(variables, images) for _ in range(4)]
+    float(warm[-1])
     # Queue all timed reps asynchronously and read back ONE scalar at the
     # end: executions on a single device run in dispatch order, so the last
     # readback implies all reps completed. This keeps exactly one tunnel
     # round-trip inside the timed window (a per-rep float() sync put ~3 RTTs
     # in it, which showed up as ±5% VM-to-VM "throughput" swings on
-    # identical code). 3 reps x CHUNK=10 = 30 timed forwards, matching the
-    # reference's 30-iteration protocol (/root/reference/main.py:387-414).
+    # identical code). The remaining fixed apparatus overhead (first enqueue
+    # + final readback RTT) is amortized over 24 chains (~12 s of steady
+    # state); the reference's 30-iteration window (main.py:387-414) on a
+    # local GPU has no such tunnel term to exclude.
     t1 = time.time()
-    reps = 3
+    reps = 24
     accs = [fwd_chain(variables, images) for _ in range(reps)]
     float(accs[-1])
     t2 = time.time()
