@@ -510,8 +510,11 @@ def _unpack_refs(refs, nb, wb, cu=0, cbs=0, scratch_kv=None):
 
 def _fwd_kernel(*refs, h: int, cs: int, n_valid: int, rel_width: int,
                 clamp_hi: Optional[int], hiprec: bool, nb: int, wb: int,
-                batch_inv: bool, cu: int = 0, cbs: int = 0):
+                batch_inv: bool, cu: int = 0, cbs: int = 0, wsg: int = 1):
     scratch_kv = None
+    scratch_lg = None
+    if wsg > 1:
+        refs, scratch_lg = refs[:-1], refs[-1]
     if cu:
         refs, scratch_kv = refs[:-1], refs[-1]
     (q_ref, posq_ref, get_kv, get_pos, col0, valids,
@@ -569,36 +572,38 @@ def _fwd_kernel(*refs, h: int, cs: int, n_valid: int, rel_width: int,
         ]
 
     # opt-in row-stacked variant of the batch-invariant path: run each
-    # VPU softmax chain over sg images' rows at once (same move as the
+    # VPU softmax chain over wsg images' rows at once (same move as the
     # stacked dense path, which won mini +3.3% / Small +6%). Matmuls stay
-    # per image (K/V differ); the shared bias plane is tiled down the
-    # tall rows. sg bounds the f32 (sg*tq, W) plane footprint.
-    wsg = int(os.environ.get("MLAFF_WSTACK", "1")) if batch_inv else 1
-    if wsg > 1 and gb % wsg == 0:
+    # per image (K/V differ); the per-image logit planes are staged into a
+    # (nbands, wsg*tq, Wb) f32 VMEM scratch at STATIC row offsets, so the
+    # max/exp/sum/div chain reads one tall plane per band. An earlier form
+    # built the tall planes with jnp.concatenate over per-image slices —
+    # Mosaic's compile time exploded on the concat-of-slices graphs
+    # (>29 min, abandoned; PERF.md batch T) — scratch stores replace it.
+    if wsg > 1 and scratch_lg is not None:
         for b0 in range(0, gb, wsg):
             for hi in range(h):
-                q_tall = jnp.concatenate(
-                    [q_ref[b0 + o, :, hi * c_:(hi + 1) * c_]
-                     for o in range(wsg)], axis=0)  # (sg*tq, c_)
-                tall = []
+                # tall Q block: static slice + leading-dim collapse
+                q_tall = q_ref[b0:b0 + wsg, :, hi * c_:(hi + 1) * c_].reshape(
+                    wsg * tq, c_)
                 for j in range(nbands):
-                    lgj = jnp.concatenate([
-                        jax.lax.dot_general(
+                    for o in range(wsg):
+                        lg = jax.lax.dot_general(
                             q_ref[b0 + o, :, hi * c_:(hi + 1) * c_],
                             get_kv(j, b0 + o, 2 * hi * c_,
                                    (2 * hi + 1) * c_),
                             (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32,
                             precision=prec,
-                        ) for o in range(wsg)
-                    ], axis=0)  # (sg*tq, Wb)
-                    tall.append(
-                        lgj + jnp.concatenate([biases[hi][j]] * wsg, axis=0)
-                    )
+                        )  # (tq, Wb)
+                        scratch_lg[j, o * tq:(o + 1) * tq, :] = (
+                            lg + biases[hi][j]
+                        )
                 blank = jax.lax.dot_general(
                     q_tall, bk_ref[:, hi:hi + 1], (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32, precision=prec,
-                )  # (sg*tq, 1)
+                )  # (wsg*tq, 1)
+                tall = [scratch_lg[j] for j in range(nbands)]
                 mx = blank
                 for lg in tall:
                     mx = jnp.maximum(mx, lg.max(axis=-1, keepdims=True))
@@ -609,24 +614,22 @@ def _fwd_kernel(*refs, h: int, cs: int, n_valid: int, rel_width: int,
                     p = jnp.exp(lg - mx)
                     ps.append(p)
                     denom = denom + p.sum(axis=-1, keepdims=True)
-                out_tall = (pb / denom) * bv_ref[hi:hi + 1, :].astype(
+                base_tall = (pb / denom) * bv_ref[hi:hi + 1, :].astype(
                     jnp.float32)
-                for j, p in enumerate(ps):
-                    pn = p / denom
-                    avs = []
-                    for o in range(wsg):
+                pns = [p / denom for p in ps]
+                for o in range(wsg):
+                    acc = base_tall[o * tq:(o + 1) * tq, :]
+                    for j, pn in enumerate(pns):
                         v = get_kv(j, b0 + o, (2 * hi + 1) * c_,
                                    (2 * hi + 2) * c_)
-                        avs.append(jax.lax.dot_general(
+                        acc = acc + jax.lax.dot_general(
                             pn[o * tq:(o + 1) * tq, :].astype(v.dtype),
                             v, (((1,), (0,)), ((), ())),
                             preferred_element_type=jnp.float32,
                             precision=prec,
-                        ))
-                    out_tall = out_tall + jnp.concatenate(avs, axis=0)
-                for o in range(wsg):
+                        )
                     out_ref[b0 + o, :, hi * c_:(hi + 1) * c_] = (
-                        out_tall[o * tq:(o + 1) * tq, :].astype(out_ref.dtype)
+                        acc.astype(out_ref.dtype)
                     )
         return
 
@@ -909,11 +912,19 @@ def _attention_fwd_impl(q, kv, ncc, pos, pe_kernel, pe_bias, blank_k,
     kv_p = _pad_rows(kv, np_)
     pos_p = _pad_rows(pos, np_)
 
+    # row-stacked batch-invariant variant (MLAFF_WSTACK=k): only on the
+    # windowed on-grid path; needs a logits scratch plane (see _fwd_kernel)
+    wsg = 1
+    if window is not None and not compact and static_ncc is not None:
+        wsg = max(1, int(os.environ.get("MLAFF_WSTACK", "1")))
+        if gb % wsg:
+            wsg = 1
+
     kernel = functools.partial(
         _fwd_kernel, h=h, cs=cs, n_valid=n, rel_width=rel_width,
         clamp_hi=clamp_hi, hiprec=hiprec, nb=nb, wb=Wb,
         batch_inv=static_ncc is not None,
-        cu=cu if compact else 0, cbs=cbs if compact else 0,
+        cu=cu if compact else 0, cbs=cbs if compact else 0, wsg=wsg,
     )
     out_shape = jax.ShapeDtypeStruct((b, n, c), q.dtype)
     pos_t = pos_p.transpose(0, 2, 1)
@@ -1036,6 +1047,10 @@ def _attention_fwd_impl(q, kv, ncc, pos, pe_kernel, pe_bias, blank_k,
             out_specs=pl.BlockSpec(
                 (gb, tq, c), lambda bi, ti, offs: (bi, ti, 0),
                 memory_space=pltpu.VMEM,
+            ),
+            scratch_shapes=(
+                [pltpu.VMEM((max(nb, 1), wsg * tq, Wb), jnp.float32)]
+                if wsg > 1 else []
             ),
         )
         return pl.pallas_call(
