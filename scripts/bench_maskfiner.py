@@ -37,9 +37,10 @@ FORI = os.environ.get("MLAFF_CHAIN", "fori") == "fori"
 def _load_config():
     from ml_autofocusformermod_tpu.config import load_config
 
+    cfg_name = os.environ.get("MLAFF_BENCH_CFG", "maskfiner_up_down_mini.yaml")
     cfg_path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "ml_autofocusformermod_tpu", "configs", "maskfiner_up_down_mini.yaml",
+        "ml_autofocusformermod_tpu", "configs", cfg_name,
     )
     config = load_config(cfg_path)
     config.defrost()
@@ -49,6 +50,14 @@ def _load_config():
         config.merge_from_list(opts)
     config.freeze()
     return config
+
+
+def _slug() -> str:
+    """Metric-name slug from the benched config (env-overridable)."""
+    name = os.environ.get("MLAFF_BENCH_CFG", "maskfiner_up_down_mini.yaml")
+    return (name.rsplit(".", 1)[0]
+            .replace("maskfiner_up_down", "maskfiner_ud")
+            .replace("maskfiner_oracle_teacher", "maskfiner_ot"))
 
 
 def _emit(metric: str, fps: float) -> None:
@@ -120,7 +129,7 @@ def fwd(batch: int) -> None:
         float(fwd_chain(variables, images))
     t2 = time.time()
     _emit(
-        f"maskfiner_ud_mini_{size}_fwd_images_per_sec",
+        f"{_slug()}_{size}_fwd_images_per_sec",
         reps * CHUNK * batch / (t2 - t1),
     )
 
@@ -195,7 +204,7 @@ def train(batch: int) -> None:
     temp = getattr(chain.memory_analysis(), "temp_size_in_bytes", None)
     if isinstance(temp, (int, float)):
         print(json.dumps({
-            "metric": f"maskfiner_ud_mini_{size}_train_temp_bytes",
+            "metric": f"{_slug()}_{size}_train_temp_bytes",
             "value": int(temp), "unit": "bytes", "vs_baseline": None,
         }))
 
@@ -211,7 +220,7 @@ def train(batch: int) -> None:
         state = run(state)
     t2 = time.time()
     _emit(
-        f"maskfiner_ud_mini_{size}_train_images_per_sec",
+        f"{_slug()}_{size}_train_images_per_sec",
         reps * CHUNK * batch / (t2 - t1),
     )
 

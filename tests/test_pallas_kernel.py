@@ -359,3 +359,70 @@ def test_dense_nmax_masked_dense_matches(monkeypatch):
     np.testing.assert_allclose(
         np.asarray(o_dense), np.asarray(o_gather), atol=1e-5, rtol=1e-4
     )
+
+
+def test_wstack_windowed_interpret_parity(monkeypatch):
+    """Row-stacked windowed forward (MLAFF_WSTACK=2, scratch-staged tall
+    logit planes) vs the plain batch-invariant path, through the Pallas
+    interpreter. The windowed path is normally chip-only (``_choose_tiling``
+    skips ``_static_window`` under interpret), so the tiling choice is
+    pinned here by hand; the on-chip probe (scripts/parity_probe.py,
+    queue_r2u.log R2U-1) additionally pins the Mosaic-compiled numerics
+    (windowed-vs-plain exactly 0.0 at fp32 and bf16)."""
+    from ml_autofocusformermod_tpu.ops import clusten_pallas as cp
+    from ml_autofocusformermod_tpu.ops.sfc import (
+        grid_cluster, grid_nearest_clusters,
+    )
+
+    h_, w_, cs, nnc, heads, c_, b = 16, 16, 8, 3, 2, 16, 4
+    n = h_ * w_
+    tq = 64
+    g_pos, *_ = grid_cluster(h_, w_, cs)
+    ncc_np = grid_nearest_clusters(h_, w_, cs, nnc)
+    pos = jnp.broadcast_to(jnp.asarray(g_pos, jnp.float32)[None], (b, n, 2))
+    ncc = jnp.broadcast_to(
+        jnp.asarray(ncc_np, jnp.int32)[None], (b,) + ncc_np.shape
+    )
+    ks = jax.random.split(jax.random.PRNGKey(11), 7)
+    q_tm = jax.random.normal(ks[0], (b, n, heads * c_), jnp.float32)
+    kv_tm = jax.random.normal(ks[1], (b, n, heads * 2 * c_), jnp.float32)
+    pe_kernel = jax.random.normal(ks[2], (5, heads), jnp.float32) * 0.1
+    pe_bias = jax.random.normal(ks[3], (heads,), jnp.float32) * 0.1
+    blank_k = jax.random.normal(ks[4], (c_, heads), jnp.float32) * 0.5
+    blank_v = jax.random.normal(ks[5], (heads, c_), jnp.float32) * 0.5
+
+    def run():
+        return fused_cluster_attention(
+            q_tm, kv_tm, ncc, pos, pe_kernel, pe_bias, blank_k, blank_v,
+            num_heads=heads, cs=cs, rel_width=55, static_ncc=ncc_np,
+            static_pos=g_pos,
+        )
+
+    plain = run()  # dense batch-invariant path (interpret default)
+
+    monkeypatch.setenv("MLAFF_WFRAC", "1.0")  # always accept the window
+    np_ = -(-n // cs) * cs
+    win = cp._static_window(ncc_np, n, tq, cs, np_)
+    assert win is not None and win[0] == 1
+
+    orig = cp._choose_tiling
+
+    def forced(n_, np__, cs_, sn):
+        if sn is not None and n_ == n:
+            return tq, win
+        return orig(n_, np__, cs_, sn)
+
+    monkeypatch.setattr(cp, "_choose_tiling", forced)
+    monkeypatch.setenv("MLAFF_STACK", "0")  # keep the windowed dispatch
+    windowed = run()  # windowed, wsg=1
+    monkeypatch.setenv("MLAFF_WSTACK", "2")
+    stacked = run()  # windowed, wsg=2 (scratch path)
+
+    np.testing.assert_allclose(
+        np.asarray(windowed), np.asarray(plain), atol=2e-5, rtol=1e-5,
+        err_msg="windowed path diverges from the dense batch-invariant path",
+    )
+    np.testing.assert_allclose(
+        np.asarray(stacked), np.asarray(windowed), atol=2e-5, rtol=1e-5,
+        err_msg="WSTACK scratch path diverges from the windowed path",
+    )
