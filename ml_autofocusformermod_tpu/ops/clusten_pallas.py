@@ -917,8 +917,8 @@ def _attention_fwd_impl(q, kv, ncc, pos, pe_kernel, pe_bias, blank_k,
     wsg = 1
     if window is not None and not compact and static_ncc is not None:
         wsg = max(1, int(os.environ.get("MLAFF_WSTACK", "1")))
-        if gb % wsg:
-            wsg = 1
+        while wsg > 1 and gb % wsg:
+            wsg -= 1  # snap down to a divisor of the image group
 
     kernel = functools.partial(
         _fwd_kernel, h=h, cs=cs, n_valid=n, rel_width=rel_width,

@@ -19,6 +19,10 @@ if [ -n "$1" ]; then
 fi
 stop
 
+stop; echo "=== [R2V-0a] mini fwd MLAFF_WSTACK=8 (wsg scaling: 2682.6 -> 2728 -> 2776.5 at 1/2/4) $(date) ==="
+MLAFF_WSTACK=8 timeout 1800 python bench.py
+stop; echo "=== [R2V-0b] small fwd MLAFF_WSTACK=4 $(date) ==="
+MLAFF_WSTACK=4 timeout 1800 python scripts/bench_train.py fwd small
 stop; echo "=== [R2V-1] mini train refresh (1-RTT protocol, current tree) $(date) ==="
 timeout 3000 python scripts/bench_train.py mini_train
 stop; echo "=== [R2V-2] maskfiner_ud fwd b64 $(date) ==="
