@@ -117,6 +117,10 @@ def build_oracle_teacher(
         in_chans = 3 if i == 0 else mr.EMBED_DIM[i - 1]
         dpr = mr.DROP_PATH_RATE
         dpr_i = dpr[i] if isinstance(dpr, (list, tuple)) else dpr
+        # The reference passes a scalar per backbone (build.py:49,63) that
+        # applies uniformly to every block; our MixResBasicLayer indexes
+        # drop_path per block, so replicate to DEPTHS[i] entries.
+        drop_path = (float(dpr_i),) * int(mr.DEPTHS[i])
         common = dict(
             patch_sizes=tuple(mr.PATCH_SIZES[: i + 1]),
             n_layers=mr.DEPTHS[i],
@@ -124,7 +128,7 @@ def build_oracle_teacher(
             n_heads=mr.NUM_HEADS[i],
             mlp_ratio=mr.MLP_RATIO[i],
             dropout=mr.DROP_RATE[i],
-            drop_path_rate=(dpr_i,),
+            drop_path_rate=drop_path,
             split_ratio=mr.SPLIT_RATIO[i],
             channels=in_chans,
             n_scales=mr.N_RESOLUTION_SCALES,
