@@ -44,6 +44,7 @@ construction. An XLA one-hot-matmul backward is kept as the oracle
 from __future__ import annotations
 
 import functools
+import logging
 import os
 from typing import Optional, Tuple
 
@@ -513,6 +514,10 @@ def _fwd_kernel(*refs, h: int, cs: int, n_valid: int, rel_width: int,
                 batch_inv: bool, cu: int = 0, cbs: int = 0, wsg: int = 1):
     scratch_kv = None
     scratch_lg = None
+    # scratch refs are popped positionally: the wsg logits plane and the
+    # compact kv copy are mutually exclusive by call-site construction
+    # (_attention_fwd_impl forces wsg=1 on the compact path)
+    assert not (wsg > 1 and cu), "wsg>1 and compact are mutually exclusive"
     if wsg > 1:
         refs, scratch_lg = refs[:-1], refs[-1]
     if cu:
@@ -913,12 +918,34 @@ def _attention_fwd_impl(q, kv, ncc, pos, pe_kernel, pe_bias, blank_k,
     pos_p = _pad_rows(pos, np_)
 
     # row-stacked batch-invariant variant (MLAFF_WSTACK=k): only on the
-    # windowed on-grid path; needs a logits scratch plane (see _fwd_kernel)
+    # windowed on-grid path; needs a logits scratch plane (see _fwd_kernel).
+    # DEFAULT ON since the batch-U/V chip A/Bs (2026-08-20): mini fwd
+    # 2682.6 -> 2728.0 -> 2776.5 -> 2799.5 img/s at wsg 1/2/4/8 (c=32);
+    # Small 1032.4 -> 1044.8 at wsg 2 (c=96, wider heads stack less).
+    # MLAFF_WSTACK overrides for experiments (MLAFF_WSTACK=1 restores the
+    # per-image chain).
     wsg = 1
     if window is not None and not compact and static_ncc is not None:
-        wsg = max(1, int(os.environ.get("MLAFF_WSTACK", "1")))
+        env_wsg = os.environ.get("MLAFF_WSTACK")
+        req = max(1, int(env_wsg)) if env_wsg else (8 if c <= 64 else 2)
+        wsg = req
         while wsg > 1 and gb % wsg:
             wsg -= 1  # snap down to a divisor of the image group
+        # The (nbands, wsg*tq, Wb) f32 logits scratch is per kernel
+        # instance and comes on top of the resident K/V + K-pos blocks;
+        # keep their sum under Mosaic's scoped-VMEM stack (100 MB compiler
+        # limit, headroom for q/out tiles and the softmax chain).
+        resident = gb * np_ * (2 * c * kv.dtype.itemsize + 2 * 4)
+        limit = 72 * 1024 * 1024
+        while wsg > 1 and max(nb, 1) * wsg * tq * Wb * 4 + resident > limit:
+            wsg -= 1
+            while wsg > 1 and gb % wsg:
+                wsg -= 1
+        if wsg != req:
+            logging.getLogger(__name__).warning(
+                "MLAFF_WSTACK: effective wsg=%d (requested %d; gb=%d, "
+                "scratch budget)", wsg, req, gb,
+            )
 
     kernel = functools.partial(
         _fwd_kernel, h=h, cs=cs, n_valid=n, rel_width=rel_width,
