@@ -22,8 +22,11 @@ def main() -> None:
     import jax
 
     # persistent compile cache: first-ever compile of the full model takes
-    # minutes through the remote-compile path; subsequent runs are instant
-    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+    # minutes through the remote-compile path; subsequent runs are instant.
+    # MLAFF_CACHE_DIR points at a throwaway dir for cold-compile timing.
+    cache_dir = os.environ.get("MLAFF_CACHE_DIR") or os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), ".jax_cache"
+    )
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
