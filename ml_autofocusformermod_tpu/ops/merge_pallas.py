@@ -21,22 +21,25 @@ immediately folded into the weighted reduction:
 
     out[t, i, c] = sum_j sum_s w[t, (j,s), i] * feat[ncc[t,j]*cs + s, c]
 
-Kernel-layout notes (v2 — the v1 kernel compiled to an 80 MB scoped-VMEM
-stack and was rejected by Mosaic):
+Kernel-layout notes (v3; v1 compiled to an 80 MB scoped-VMEM stack and
+was rejected by Mosaic; v2's rolled per-(j, s) loops fit but issued the
+gather as cs separate (n', k) @ (k, c) matmuls — 32-lane outputs at 1/4
+MXU utilization — and lost its model A/B, PERF.md R2F-1..3):
 
-* the ``j`` (neighbor cluster) and ``s`` (within-cluster slot) loops are
-  ``lax.fori_loop``s, so Mosaic reuses the loop body's stack instead of
-  summing ~200 unrolled temporaries;
+* the ``j`` (neighbor cluster) loop is a ``lax.fori_loop`` whose body
+  does ONE full-width (n', k) @ (k, cs*c) gather matmul (256-lane MXU
+  output at AFF shapes), then a statically-unrolled ``s`` loop of VPU
+  FMAs over the in-register gathered plane (static lane offsets);
 * width-1 lane slices (``w_ref[bi, :, col:col+1]``) are gone.  Each one
   forced a 128-lane-padded (n', 1) stack temporary.  The per-(s, i)
-  weight broadcast is now a tiny constant-matrix MXU matmul:
+  weight broadcast is a tiny constant-matrix MXU matmul:
   ``wjs @ E_j`` with ``E_j[r, i*c+c'] = (r == j*ic + i)`` built from a
   traced-``j`` iota compare;
-* ``s`` is a LEADING ref dimension: features arrive as ``(b, cs, k, c)``
-  and weights as ``(b, cs, n'_pad, nnc*ic)`` so the loop body indexes
-  ``feat_ref[bi, s]`` / ``w_ref[bi, s]`` — dynamic indexing on leading
-  (non-tiled) dims, which Mosaic supports natively.  The host-side
-  transposes are small XLA copies (~26 MB at AFF-Mini stage 1).
+* features arrive at cluster granularity ``(b, k, cs*c)`` — a pure
+  reshape of the token-major layout, no host transpose; weights keep
+  ``s`` LEADING (``(b, cs, n'_pad, nnc*ic)``) so the unrolled body
+  indexes ``w_ref[bi, s]`` on non-tiled dims, which Mosaic supports
+  natively.
 
 One-hot x bf16 is exact (each gathered row is a verbatim feature row), so
 this is a gather, not an approximation. FLOPs are n'*nnc*k*(cs*c) MACs —
@@ -109,32 +112,39 @@ def _sum_i_mat(ic, c, dtype):
 
 def _merge_fwd_kernel(w_ref, feat_ref, ncc_ref, out_ref, *, cs: int,
                       ic: int, hiprec: bool):
-    gb, _, k, c = feat_ref.shape
+    """v3 loop structure: ONE full-width (n', k) @ (k, cs*c) gather matmul
+    per neighbor cluster ``j`` (256-lane MXU output at AFF shapes), then a
+    statically-unrolled ``s`` loop of VPU FMAs over the in-register plane.
+    v2 issued the gather as cs separate (n', k) @ (k, c) matmuls — 32-lane
+    outputs at 1/4 MXU utilization were why it lost its model A/B
+    (PERF.md, R2F-1..3)."""
+    gb, k, csc = feat_ref.shape
     n_ = w_ref.shape[2]
     nnc = ncc_ref.shape[2]
+    c = csc // cs
     prec = jax.lax.Precision.HIGHEST if hiprec else None
     cdt = jnp.float32 if hiprec else jnp.bfloat16
     for bi in range(gb):
         ncc_all = ncc_ref[bi]  # (n', nnc)
         kiota = jax.lax.broadcasted_iota(jnp.int32, (n_, k), 1)
+        feat2 = feat_ref[bi]  # (k, cs*c) resident
 
         def jbody(j, acc):
             oh = (kiota == _nccj_column(ncc_all, j)).astype(cdt)
+            g = jax.lax.dot_general(
+                oh, feat2, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=prec,
+            )  # (n', cs*c): the full gathered clusters ncc[:, j], f32
             ej = _expand_mat(j, nnc, ic, c, cdt)
-
-            def sbody(s, acc):
-                gs = jax.lax.dot_general(
-                    oh, feat_ref[bi, s], (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32, precision=prec,
-                )  # (n', c) = rows s of clusters ncc[:, j], f32
+            for s in range(cs):  # static: lane slices at fixed offsets
+                gs = g[:, s * c:(s + 1) * c]
                 we = jax.lax.dot_general(
                     w_ref[bi, s], ej, (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32, precision=prec,
                 )  # (n', ic*c): w[:, (j,s,i)] broadcast over lane block i
                 gtile = jnp.concatenate([gs] * ic, axis=1)
-                return acc + we * gtile
-
-            return jax.lax.fori_loop(0, cs, sbody, acc)
+                acc = acc + we * gtile
+            return acc
 
         acc = jax.lax.fori_loop(
             0, nnc, jbody, jnp.zeros((n_, ic * c), jnp.float32)
@@ -158,9 +168,10 @@ def _merge_bwd_kernel(w_ref, feat_ref, ncc_ref, g_ref, dw_ref, dfeat_ref,
     (exact: every slab is only touched once); d_feat accumulates in a
     float32 ref.
     """
-    gb, _, k, c = feat_ref.shape
+    gb, k, csc = feat_ref.shape
     n_ = w_ref.shape[2]
     nnc = ncc_ref.shape[2]
+    c = csc // cs
     prec = jax.lax.Precision.HIGHEST if hiprec else None
     cdt = jnp.float32 if hiprec else jnp.bfloat16
     rm = _sum_i_mat(ic, c, cdt)
@@ -168,21 +179,22 @@ def _merge_bwd_kernel(w_ref, feat_ref, ncc_ref, g_ref, dw_ref, dfeat_ref,
         ncc_all = ncc_ref[bi]
         kiota = jax.lax.broadcasted_iota(jnp.int32, (n_, k), 1)
         gall = g_ref[bi]  # (n', ic*c)
+        feat2 = feat_ref[bi]  # (k, cs*c)
         for s in range(cs):
             dw_ref[bi, s] = jnp.zeros(dw_ref.shape[2:], dw_ref.dtype)
-            dfeat_ref[bi, s] = jnp.zeros(dfeat_ref.shape[2:],
-                                         dfeat_ref.dtype)
+        dfeat_ref[bi] = jnp.zeros(dfeat_ref.shape[1:], dfeat_ref.dtype)
 
         def jbody(j, _):
             oh = (kiota == _nccj_column(ncc_all, j)).astype(cdt)
+            g = jax.lax.dot_general(
+                oh, feat2, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=prec,
+            )  # (n', cs*c) gathered clusters, f32 (same hoist as forward)
             ej = _expand_mat(j, nnc, ic, c, cdt)
             rj = _reduce_mat(j, nnc, ic, c, cdt)
-
-            def sbody(s, _):
-                gs = jax.lax.dot_general(
-                    oh, feat_ref[bi, s], (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32, precision=prec,
-                )  # (n', c)
+            mjs_all = []
+            for s in range(cs):  # static lane offsets
+                gs = g[:, s * c:(s + 1) * c]
                 gstile = jnp.concatenate([gs] * ic, axis=1)  # (n', ic*c)
                 # d_w columns j*ic+i: sum_c g_i * gs  (P @ R_j)
                 dws = jax.lax.dot_general(
@@ -198,18 +210,20 @@ def _merge_bwd_kernel(w_ref, feat_ref, ncc_ref, g_ref, dw_ref, dfeat_ref,
                     w_ref[bi, s], ej, (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32, precision=prec,
                 )
-                mjs = jax.lax.dot_general(
+                mjs_all.append(jax.lax.dot_general(
                     (we * gall.astype(jnp.float32)).astype(cdt), rm,
                     (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32, precision=prec,
-                )  # (n', c)
-                dfeat_ref[bi, s] = dfeat_ref[bi, s] + jax.lax.dot_general(
-                    oh, mjs.astype(cdt), (((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32, precision=prec,
-                ).astype(dfeat_ref.dtype)
-                return 0
-
-            return jax.lax.fori_loop(0, cs, sbody, 0)
+                ))  # (n', c)
+            # d_feat scatter for this j: ONE (k, n') @ (n', cs*c) one-hot
+            # transpose matmul over the s-assembled plane (v2 issued cs
+            # separate (k, n') @ (n', c) 32-lane matmuls here)
+            mall = jnp.concatenate(mjs_all, axis=1)  # (n', cs*c)
+            dfeat_ref[bi] = dfeat_ref[bi] + jax.lax.dot_general(
+                oh, mall.astype(cdt), (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=prec,
+            ).astype(dfeat_ref.dtype)
+            return 0
 
         jax.lax.fori_loop(0, nnc, jbody, 0)
 
@@ -224,18 +238,15 @@ def _pad_axis(x, axis, target):
 
 
 def _layouts(weights, feat, ncc, cs):
-    """Host-side re-layouts: s to a leading (Mosaic-indexable) dim."""
+    """Host-side re-layouts. Features need only a reshape to cluster
+    granularity (b, k, cs*c) — the same resident layout the attention
+    kernel uses; weights move s to a leading (Mosaic-indexable) dim."""
     b, n_, m, ic = weights.shape
     n, c = feat.shape[1], feat.shape[2]
     nnc = ncc.shape[-1]
     k = -(-n // cs)
     n_pad = -(-n_ // 8) * 8
-    # feat (b, n, c) -> (b, cs, k, c): row kk*cs+s lands at [b, s, kk]
-    feat4 = (
-        _pad_axis(feat, 1, k * cs)
-        .reshape(b, k, cs, c)
-        .transpose(0, 2, 1, 3)
-    )
+    feat2 = _pad_axis(feat, 1, k * cs).reshape(b, k, cs * c)
     # weights (b, n', nnc*cs, ic) -> (b, cs, n'_pad, nnc*ic)
     w4 = (
         _pad_axis(weights.reshape(b, n_, nnc, cs, ic), 1, n_pad)
@@ -243,7 +254,7 @@ def _layouts(weights, feat, ncc, cs):
         .reshape(b, cs, n_pad, nnc * ic)
     )
     nccp = _pad_axis(ncc, 1, n_pad)
-    return feat4, w4, nccp, k, n_pad
+    return feat2, w4, nccp, k, n_pad
 
 
 def _pick_gb(b, per_image):
@@ -265,11 +276,11 @@ def _stack_model(n_, k, cs, c, ic, nnc, itemsize):
     f32 = 4
     return (
         n_ * max(k, lane) * itemsize      # one-hot
+        + n_ * max(cs * c, lane) * f32    # gathered plane g (live per j)
         + n_ * max(ic * c, lane) * f32 * 3  # acc + we + gtile
-        + n_ * max(c, lane) * f32         # gs
         + n_ * max(nnc * ic, lane) * f32  # wjs load / dws
         + n_ * max(nnc, lane) * 4 * 2     # ncc block + masked temp
-        + k * max(c, lane) * itemsize     # feat slab
+        + k * max(cs * c, lane) * itemsize  # feat slab
     )
 
 
@@ -279,9 +290,9 @@ def _merge_fwd_impl(weights, feat, ncc, cluster_size):
     nnc = ncc.shape[-1]
     cs = cluster_size
     assert m == nnc * cs, f"m={m} != nnc*cs={nnc}*{cs}"
-    feat4, w4, nccp, k, n_pad = _layouts(weights, feat, ncc, cs)
+    feat2, w4, nccp, k, n_pad = _layouts(weights, feat, ncc, cs)
     gb = _pick_gb(b, _stack_model(n_pad, k, cs, c, ic, nnc,
-                                  feat4.dtype.itemsize))
+                                  feat2.dtype.itemsize))
 
     kernel = functools.partial(
         _merge_fwd_kernel, cs=cs, ic=ic,
@@ -292,13 +303,13 @@ def _merge_fwd_impl(weights, feat, ncc, cluster_size):
         grid=(b // gb,),
         in_specs=[
             pl.BlockSpec((gb, cs, n_pad, nnc * ic), lambda i: (i, 0, 0, 0)),
-            pl.BlockSpec((gb, cs, k, c), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((gb, k, cs * c), lambda i: (i, 0, 0)),
             pl.BlockSpec((gb, n_pad, nnc), lambda i: (i, 0, 0)),
         ],
         out_specs=pl.BlockSpec((gb, n_pad, ic * c), lambda i: (i, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((b, n_pad, ic * c), weights.dtype),
         interpret=_interpret(),
-    )(w4, feat4, nccp)
+    )(w4, feat2, nccp)
     return out[:, :n_].reshape(b, n_, ic, c)
 
 
@@ -307,46 +318,42 @@ def _merge_bwd_impl(weights, feat, ncc, cluster_size, g):
     n, c = feat.shape[1], feat.shape[2]
     nnc = ncc.shape[-1]
     cs = cluster_size
-    feat4, w4, nccp, k, n_pad = _layouts(weights, feat, ncc, cs)
+    feat2, w4, nccp, k, n_pad = _layouts(weights, feat, ncc, cs)
     g3 = _pad_axis(
         g.reshape(b, n_, ic * c).astype(weights.dtype), 1, n_pad
     )
     gb = _pick_gb(b, _stack_model(n_pad, k, cs, c, ic, nnc,
-                                  feat4.dtype.itemsize) * 2)
+                                  feat2.dtype.itemsize) * 2)
 
     kernel = functools.partial(
         _merge_bwd_kernel, cs=cs, ic=ic,
         hiprec=(weights.dtype == jnp.float32),
     )
-    dw4, dfeat4 = pl.pallas_call(
+    dw4, dfeat2 = pl.pallas_call(
         kernel,
         grid=(b // gb,),
         in_specs=[
             pl.BlockSpec((gb, cs, n_pad, nnc * ic), lambda i: (i, 0, 0, 0)),
-            pl.BlockSpec((gb, cs, k, c), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((gb, k, cs * c), lambda i: (i, 0, 0)),
             pl.BlockSpec((gb, n_pad, nnc), lambda i: (i, 0, 0)),
             pl.BlockSpec((gb, n_pad, ic * c), lambda i: (i, 0, 0)),
         ],
         out_specs=[
             pl.BlockSpec((gb, cs, n_pad, nnc * ic), lambda i: (i, 0, 0, 0)),
-            pl.BlockSpec((gb, cs, k, c), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((gb, k, cs * c), lambda i: (i, 0, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((b, cs, n_pad, nnc * ic), weights.dtype),
-            jax.ShapeDtypeStruct((b, cs, k, c), jnp.float32),
+            jax.ShapeDtypeStruct((b, k, cs * c), jnp.float32),
         ],
         interpret=_interpret(),
-    )(w4, feat4, nccp, g3)
+    )(w4, feat2, nccp, g3)
     dw = (
         dw4.reshape(b, cs, n_pad, nnc, ic)
         .transpose(0, 2, 3, 1, 4)
         .reshape(b, n_pad, m, ic)[:, :n_]
     )
-    dfeat = (
-        dfeat4.transpose(0, 2, 1, 3)
-        .reshape(b, k * cs, c)[:, :n]
-        .astype(feat.dtype)
-    )
+    dfeat = dfeat2.reshape(b, k * cs, c)[:, :n].astype(feat.dtype)
     return dw, dfeat
 
 
