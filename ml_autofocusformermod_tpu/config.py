@@ -252,6 +252,9 @@ def default_config() -> CfgNode:
     # ClusterMerging WF contraction lowering ('vpu'|'ic'|'einsum') — 'ic'
     # wins on AFF-Mini (+1.2%) but loses on Small (-2%).
     c.TPU.WF_MODE = ""
+    # ClusterMerging aggregation: '' = XLA one-hot gather + WF reduce,
+    # 'pallas' = fused in-VMEM merge kernel (ops/merge_pallas.py v3)
+    c.TPU.MERGE = ""
 
     c.AMP_ENABLE = True
     c.OUTPUT = ""

@@ -61,6 +61,7 @@ class BasicLayer(nn.Module):
     rel_pos_width: int = 55
     use_pallas: bool = False
     wf_mode: str = ""  # ClusterMerging WF lowering ('' = default)
+    merge_mode: str = ""  # ClusterMerging aggregation ('pallas' = fused kernel)
     remat: str = ""  # '' | 'blocks' | 'dots' (models/layers.py::remat_wrap)
     dtype: Dtype = jnp.float32
 
@@ -280,6 +281,7 @@ class BasicLayer(nn.Module):
                 reserve_on=self.reserve_on,
                 rel_pos_width=R,
                 wf_mode=self.wf_mode,
+                merge_mode=self.merge_mode,
                 dtype=self.dtype,
                 name="downsample",
             )(pos, feat, member_idx, cluster_mask, learned_prob, stride,
@@ -310,6 +312,7 @@ class AutoFocusFormer(nn.Module):
     img_size: int = 224
     use_pallas: bool = False
     wf_mode: str = ""  # ClusterMerging WF lowering ('' = default)
+    merge_mode: str = ""  # ClusterMerging aggregation ('pallas' = fused kernel)
     remat: str = ""  # rematerialize blocks in backward (layers.py::remat_wrap)
     dtype: Dtype = jnp.float32
 
@@ -357,6 +360,7 @@ class AutoFocusFormer(nn.Module):
                 rel_pos_width=R,
                 use_pallas=self.use_pallas,
                 wf_mode=self.wf_mode,
+                merge_mode=self.merge_mode,
                 remat=self.remat,
                 dtype=self.dtype,
                 name=f"layers_{i_layer}",

@@ -28,6 +28,7 @@ def build_model(config, upscale_ratios=None):
     # module attribute; an explicit MLAFF_WF_MODE env still wins at trace
     # time (ops/clusten.py::wf_contract — A/B sweeps set the env directly).
     wf_mode = str(getattr(config.TPU, "WF_MODE", "") or "")
+    merge_mode = str(getattr(config.TPU, "MERGE", "") or "")
     # The fused Pallas attention kernel is a custom call XLA's SPMD
     # partitioner cannot split over the mesh `model`/`seq` axes; with
     # tensor or sequence parallelism active, use the XLA einsum path
@@ -59,6 +60,7 @@ def build_model(config, upscale_ratios=None):
             img_size=config.DATA.IMG_SIZE,
             use_pallas=use_pallas,
             wf_mode=wf_mode,
+            merge_mode=merge_mode,
             remat=str(config.TPU.REMAT),
             dtype=dtype,
         )

@@ -512,6 +512,7 @@ class ClusterMerging(nn.Module):
     reserve_on: bool = True
     rel_pos_width: int = 55
     wf_mode: str = ""  # '' = env/code default (ops/clusten.py::wf_contract)
+    merge_mode: str = ""  # '' = env/code default ('pallas' = fused merge kernel)
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -649,7 +650,12 @@ class ClusterMerging(nn.Module):
 
         # --- merge (CLUSTEN-WF), norm, project (.:361-363) ---
         if sel_ncc is not None:
-            if os.environ.get("MLAFF_MERGE", "xla") == "pallas":
+            merge_mode = (
+                os.environ.get("MLAFF_MERGE", "")
+                or self.merge_mode
+                or "xla"
+            )
+            if merge_mode == "pallas":
                 # fused kernel: the gathered (b, n'*m, c) features stay in
                 # VMEM (ops/merge_pallas.py) — the XLA chain below
                 # materializes them twice (~9.6 ms/iter of the AFF-Mini
