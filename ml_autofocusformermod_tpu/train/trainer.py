@@ -259,10 +259,10 @@ def throughput(
     """Images/sec, reference benchmark semantics (``main.py:387-414``)."""
     fwd = jax.jit(lambda v, x: model.apply(v, x, training=False))
     for _ in range(warmup):
-        fwd(variables, images).block_until_ready()
+        jax.block_until_ready(fwd(variables, images))  # list when aux heads on
     t1 = time.time()
     for _ in range(iters):
         out = fwd(variables, images)
-    out.block_until_ready()
+    jax.block_until_ready(out)
     t2 = time.time()
     return iters * images.shape[0] / (t2 - t1)
