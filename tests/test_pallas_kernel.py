@@ -426,3 +426,12 @@ def test_wstack_windowed_interpret_parity(monkeypatch):
         np.asarray(stacked), np.asarray(windowed), atol=2e-5, rtol=1e-5,
         err_msg="WSTACK scratch path diverges from the windowed path",
     )
+
+    # the DEFAULT (no env): shape-aware wsg (8 for c<=64, snapped to a
+    # divisor of gb / the VMEM budget) — pins the round-3 default flip
+    monkeypatch.delenv("MLAFF_WSTACK")
+    default = run()
+    np.testing.assert_allclose(
+        np.asarray(default), np.asarray(windowed), atol=2e-5, rtol=1e-5,
+        err_msg="default-wsg path diverges from the windowed path",
+    )
