@@ -697,7 +697,7 @@ def _fwd_kernel_stacked(q_ref, kv_ref, posq_ref, posk_ref, ncc_ref,
                         wpe_ref, bpe_ref, bk_ref, bv_ref, out_ref, *,
                         h: int, cs: int, n_valid: int, np_: int,
                         rel_width: int, clamp_hi: Optional[int],
-                        hiprec: bool, gb: int):
+                        hiprec: bool, gb: int, split: bool = False):
     """Dense-path forward with the image group stacked along rows.
 
     The small-token stages (n <= 256: AFF stages 3/4) are bound by
@@ -752,10 +752,10 @@ def _fwd_kernel_stacked(q_ref, kv_ref, posq_ref, posk_ref, ncc_ref,
         member = member | (cc == ncc_ref[:, j][:, None])
     member = member & (col_idx < n_valid)
 
-    for hi in range(h):
+    def head_bias(hi):
         # mask folded into the bias plane: post-exp masking is free via
         # exp underflow, same trick as the batch-invariant path
-        bias = jnp.where(
+        return jnp.where(
             member,
             wpe_ref[0, hi] * dx + wpe_ref[1, hi] * dy
             + wpe_ref[2, hi] * dist + wpe_ref[3, hi] * sinp
@@ -763,6 +763,8 @@ def _fwd_kernel_stacked(q_ref, kv_ref, posq_ref, posk_ref, ncc_ref,
             + bpe_ref[hi],
             NEG_INF,
         )
+
+    def qk_head(hi):
         qh = q_ref[:, hi * c_:(hi + 1) * c_]  # (G, c_)
         lgs = []
         for bi in range(gb):
@@ -771,16 +773,21 @@ def _fwd_kernel_stacked(q_ref, kv_ref, posq_ref, posk_ref, ncc_ref,
                 qh[bi * np_:(bi + 1) * np_, :], k, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32, precision=prec,
             ))
-        lg = jnp.concatenate(lgs, axis=0) + bias  # (G, np_)
         blank = jax.lax.dot_general(
             qh, bk_ref[:, hi:hi + 1], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32, precision=prec,
         )  # (G, 1) — one tall matmul, not per image
+        return jnp.concatenate(lgs, axis=0), blank
+
+    def softmax_head(lg_raw, blank, hi):
+        lg = lg_raw + head_bias(hi)  # (G, np_)
         mx = jnp.maximum(blank, lg.max(axis=-1, keepdims=True))
         p = jnp.exp(lg - mx)
         pb = jnp.exp(blank - mx)
         denom = pb + p.sum(axis=-1, keepdims=True)
-        pn = p / denom
+        return p / denom, pb / denom
+
+    def av_head(pn, pbn, hi):
         outs = []
         for bi in range(gb):
             v = kv_ref[bi, :, (2 * hi + 1) * c_:(2 * hi + 2) * c_]
@@ -790,8 +797,31 @@ def _fwd_kernel_stacked(q_ref, kv_ref, posq_ref, posk_ref, ncc_ref,
                 preferred_element_type=jnp.float32, precision=prec,
             ))
         o = jnp.concatenate(outs, axis=0)
-        o = o + (pb / denom) * bv_ref[hi:hi + 1, :].astype(jnp.float32)
+        o = o + pbn * bv_ref[hi:hi + 1, :].astype(jnp.float32)
         out_ref[:, hi * c_:(hi + 1) * c_] = o.astype(out_ref.dtype)
+
+    if not split:
+        for hi in range(h):
+            lg_raw, blank = qk_head(hi)
+            pn, pbn = softmax_head(lg_raw, blank, hi)
+            av_head(pn, pbn, hi)
+        return
+
+    # phase-split (MLAFF_SSPLIT): the interleaved per-head loop serializes
+    # dependent MXU->VPU->MXU chains — at the small-token stages the
+    # per-(image, head) matmuls cost ~fixed issue/latency, not MACs (see
+    # PERF.md roofline: stacked stage-3 sits ~10x over its SOL). Issuing
+    # ALL QK matmuls first lets the MXU stream them back to back; the VPU
+    # then walks the h logits planes; the AV matmuls stream last. Costs
+    # (h+1) live (G, np_) f32 planes of scoped VMEM — the caller's gb
+    # budget accounts for them.
+    lgs_all = [qk_head(hi) for hi in range(h)]
+    pns_all = [
+        softmax_head(lg_raw, blank, hi)
+        for hi, (lg_raw, blank) in enumerate(lgs_all)
+    ]
+    for hi, (pn, pbn) in enumerate(pns_all):
+        av_head(pn, pbn, hi)
 
 
 def _pad_rows(x, np_):
@@ -887,11 +917,13 @@ def _attention_fwd_impl(q, kv, ncc, pos, pe_kernel, pe_bias, blank_k,
         and window is None and static_ncc is None
         and np_ <= int(os.environ.get("MLAFF_STACK_NMAX", "256"))
     )
+    ssplit = stacked and os.environ.get("MLAFF_SSPLIT", "0") == "1"
     if stacked:
-        gb = _gb_for(
-            b, np_ * 2 * c * 2 + np_ * np_ * 4 * 4,
-            40 * 1024 * 1024, h=h, np_=np_,
-        )
+        per_img = np_ * 2 * c * 2 + np_ * np_ * 4 * 4
+        if ssplit:
+            # phase-split keeps (h+1) logits/prob planes live at once
+            per_img += (h + 1) * np_ * np_ * 4
+        gb = _gb_for(b, per_img, 40 * 1024 * 1024, h=h, np_=np_)
         # dedicated cap: at np_ > 256 the tall f32 planes bust Mosaic's
         # 100 MB scoped-VMEM stack at gb=4 (measured: 106 MB at n=784) —
         # MLAFF_STACK_GB bounds only this path (MLAFF_GB_CAP is global
@@ -973,6 +1005,7 @@ def _attention_fwd_impl(q, kv, ncc, pos, pe_kernel, pe_bias, blank_k,
         skernel = functools.partial(
             _fwd_kernel_stacked, h=h, cs=cs, n_valid=n, np_=np_,
             rel_width=rel_width, clamp_hi=clamp_hi, hiprec=hiprec, gb=gb,
+            split=ssplit,
         )
         q_s = _pad_rows(q, np_).reshape(b * np_, c)
         posq_s = _pad_rows(pos_q, np_).reshape(b * np_, 2)

@@ -146,6 +146,23 @@ def test_stacked_forward_matches_xla(monkeypatch, n):
     )
 
 
+@pytest.mark.parametrize("n", [128, 196])
+def test_stacked_split_matches_plain(monkeypatch, n):
+    """Phase-split stacked path (MLAFF_SSPLIT=1: all QK matmuls issued
+    before the VPU softmax chains, AV matmuls last) is a pure reordering
+    of the same ops — must match the interleaved stacked path exactly."""
+    q, k, v, ncc, pos, w5, bh, bk, bv = make_inputs(n, seed=5)
+    args = (to_token_major(q), fuse_kv(k, v), ncc, pos, w5, bh, bk, bv,
+            H, CS, R, 0)
+    monkeypatch.setenv("MLAFF_STACK", "1")
+    with jax.default_matmul_precision("highest"):
+        monkeypatch.setenv("MLAFF_SSPLIT", "1")
+        o_split = fused_cluster_attention(*args)
+        monkeypatch.delenv("MLAFF_SSPLIT")
+        o_plain = fused_cluster_attention(*args)
+    np.testing.assert_array_equal(np.asarray(o_split), np.asarray(o_plain))
+
+
 def test_traced_window_forward_matches_xla(monkeypatch):
     """Traced-window dense path (MLAFF_TWIN=1, data-dependent stages):
     per-(image, tile) K/V bands from the traced ncc, with the in-graph
