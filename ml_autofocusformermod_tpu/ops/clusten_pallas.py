@@ -973,7 +973,9 @@ def _attention_fwd_impl(q, kv, ncc, pos, pe_kernel, pe_bias, blank_k,
             wsg -= 1
             while wsg > 1 and gb % wsg:
                 wsg -= 1
-        if wsg != req:
+        if wsg != req and b > 1:
+            # b == 1 (init/eval_shape traces) always snaps to gb=1 — only a
+            # real batch's snap-down can mislabel a benchmark (ADVICE r2)
             logging.getLogger(__name__).warning(
                 "MLAFF_WSTACK: effective wsg=%d (requested %d; gb=%d, "
                 "scratch budget)", wsg, req, gb,
