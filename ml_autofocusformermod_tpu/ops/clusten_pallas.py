@@ -87,6 +87,32 @@ def _pick_tile(n: int, np_: int, planes: int = 8) -> int:
     return best if best is not None else n
 
 
+def _dense_pad_tile(n: int, np_: int, planes: int = 8):
+    """(padded_rows, tq) for dense stages whose n has no usable divisor.
+
+    MixRes/MaskFiner token counts are near-prime (e.g. 1921 = 17*113), so
+    ``_pick_tile`` falls back to ONE whole-row tile; at n ~ 2000 that is a
+    single giant Mosaic program (the unrolled gb*h body over (n, np)
+    planes) whose remote compile exceeded the compile helper's connection
+    lifetime (queue r3d-2, EOF at 75 min — same failure killed the r2 UD
+    bench). Padding the QUERY axis a few percent buys a real grid: pick
+    the multiple-of-8 tile <= 512 minimizing padded rows (ties to the
+    larger tile); the caller pads q/pos/ncc rows, masks nothing (padded
+    rows attend normally and are sliced off; backward pads g_out with
+    zeros so they contribute exact zeros to dkv/dpe/dblank)."""
+    budget = 60 * 1024 * 1024
+    best = None
+    for t in range(128, 513, 8):
+        if t * np_ * 4 * planes > budget:
+            break
+        key = (-(-n // t) * t, -t)
+        if best is None or key < best[0]:
+            best = (key, t)
+    if best is None:  # np_ so wide even 128 rows bust the budget
+        return -(-n // 128) * 128, 128
+    return best[0][0], best[1]
+
+
 def _choose_tiling(n: int, np_: int, cs: int, static_ncc) -> Tuple[int, Optional[tuple]]:
     """(tq, window) for the kernel grid.
 
@@ -1123,10 +1149,21 @@ def _attention_fwd_impl(q, kv, ncc, pos, pe_kernel, pe_bias, blank_k,
             out_shape=out_shape,
         )(jnp.asarray(offs_np), q, kv_p, pos_q, pos_t, ncc, *tail_operands)
 
+    # Query-row padding for unfactorable dense stages (see _dense_pad_tile):
+    # only when the whole token axis would otherwise be ONE tile. Disabled
+    # under the twin cond (both cond branches must return the same shape).
+    nq = n
+    q_d, posq_d, ncc_d = q, pos_q, ncc
+    if twin is None and not stacked and tq >= n and n > 512:
+        nq, tq = _dense_pad_tile(n, np_)
+        q_d = _pad_rows(q, nq)
+        posq_d = _pad_rows(pos_q, nq)
+        ncc_d = _pad_rows(ncc, nq)
+
     def _dense_call(_):
         return pl.pallas_call(
             kernel,
-            grid=(b // gb, n // tq),
+            grid=(b // gb, nq // tq),
             interpret=_INTERPRET,
             compiler_params=compiler_params,
             in_specs=[
@@ -1146,11 +1183,13 @@ def _attention_fwd_impl(q, kv, ncc, pos, pe_kernel, pe_bias, blank_k,
                 (gb, tq, c), lambda bi, ti: (bi, ti, 0),
                 memory_space=pltpu.VMEM,
             ),
-            out_shape=out_shape,
-        )(q, kv_p, pos_q, pos_t, ncc, *tail_operands)
+            out_shape=(jax.ShapeDtypeStruct((b, nq, c), q.dtype)
+                       if nq != n else out_shape),
+        )(q_d, kv_p, posq_d, pos_t, ncc_d, *tail_operands)
 
     if twin is None:
-        return _dense_call(None)
+        out = _dense_call(None)
+        return out[:, :n] if nq != n else out
 
     ttq, wt, offs128, ok = twin
     np128 = -(-np_ // 128) * 128
@@ -1602,37 +1641,64 @@ def _attention_bwd_impl(q, kv, ncc, pos, pe_kernel, pe_bias, blank_k,
         )(jnp.asarray(offs_np), q, kv_p, pos_q,
           pos_p.transpose(0, 2, 1), ncc, *tail_operands)
     else:
+        # Query-row padding for unfactorable dense stages, mirroring the
+        # forward (see _dense_pad_tile). Padded g_out rows are ZERO, so
+        # their contributions to dkv/dpe/dblank are exact zeros and their
+        # dq rows are sliced off. Skipped under MLAFF_TWIN (the lax.cond
+        # branches must return identical shapes).
+        nq_b, tq_b = n, tq
+        q_b, posq_b, ncc_b = q, pos_q, ncc
+        tail_b = tail_operands
+        if (tq >= n and n > 512
+                and os.environ.get("MLAFF_TWIN", "0") != "1"):
+            nq_b, tq_b = _dense_pad_tile(n, np_)
+            q_b = _pad_rows(q, nq_b)
+            posq_b = _pad_rows(pos_q, nq_b)
+            ncc_b = _pad_rows(ncc, nq_b)
+            tail_b = tail_operands[:-1] + (_pad_rows(g_out, nq_b),)
+
         def _dense_bwd(_):
+            oshape = out_shape
+            ospecs = out_specs(False)
+            if nq_b != n:
+                oshape = [jax.ShapeDtypeStruct((b, nq_b, c), q.dtype),
+                          *out_shape[1:]]
+                ospecs = [
+                    pl.BlockSpec((gb, tq_b, c), lambda bi, ti: (bi, ti, 0),
+                                 memory_space=pltpu.VMEM),
+                    *out_specs(False)[1:],
+                ]
             outs = pl.pallas_call(
                 kernel,
-                grid=(b // gb, nt),
+                grid=(b // gb, nq_b // tq_b),
                 interpret=_INTERPRET,
                 compiler_params=compiler_params,
                 in_specs=[
-                    pl.BlockSpec((gb, tq, c), lambda bi, ti: (bi, ti, 0),
+                    pl.BlockSpec((gb, tq_b, c), lambda bi, ti: (bi, ti, 0),
                                  memory_space=pltpu.VMEM),
                     pl.BlockSpec((gb, np_, 2 * c),
                                  lambda bi, ti: (bi, 0, 0),
                                  memory_space=pltpu.VMEM),
-                    pl.BlockSpec((gb, tq, 2), lambda bi, ti: (bi, ti, 0),
+                    pl.BlockSpec((gb, tq_b, 2), lambda bi, ti: (bi, ti, 0),
                                  memory_space=pltpu.VMEM),
                     pl.BlockSpec((gb, 2, np_), lambda bi, ti: (bi, 0, 0),
                                  memory_space=pltpu.VMEM),
-                    pl.BlockSpec((gb, tq, nnc), lambda bi, ti: (bi, ti, 0),
+                    pl.BlockSpec((gb, tq_b, nnc),
+                                 lambda bi, ti: (bi, ti, 0),
                                  memory_space=pltpu.VMEM),
                     pl.BlockSpec(memory_space=pltpu.SMEM),
                     pl.BlockSpec(memory_space=pltpu.SMEM),
                     pl.BlockSpec(memory_space=pltpu.VMEM),
                     pl.BlockSpec(memory_space=pltpu.VMEM),
-                    pl.BlockSpec((gb, tq, c), lambda bi, ti: (bi, ti, 0),
+                    pl.BlockSpec((gb, tq_b, c), lambda bi, ti: (bi, ti, 0),
                                  memory_space=pltpu.VMEM),
                 ],
-                out_specs=out_specs(False),
-                out_shape=out_shape,
-            )(q, kv_p, pos_q, pos_p.transpose(0, 2, 1), ncc,
-              *tail_operands)
+                out_specs=ospecs,
+                out_shape=oshape,
+            )(q_b, kv_p, posq_b, pos_p.transpose(0, 2, 1), ncc_b,
+              *tail_b)
             o_dq, o_dkv, o_dpe, o_dblank = outs
-            return (o_dq, o_dkv[:, :n], o_dpe.sum(axis=0),
+            return (o_dq[:, :n], o_dkv[:, :n], o_dpe.sum(axis=0),
                     o_dblank.sum(axis=0))
 
         # traced-window backward (same dispatch rule as the forward; the

@@ -60,38 +60,36 @@ def census(fn, *args):
 def main(presets):
     # force the TPU kernel path even though we trace on CPU
     from ml_autofocusformermod_tpu.config import load_config
-    from ml_autofocusformermod_tpu.models.aff import AutoFocusFormer
+    from ml_autofocusformermod_tpu.models.build import build_model
 
     for preset in presets:
         cfg = load_config(os.path.join(
             REPO, "ml_autofocusformermod_tpu", "configs", f"{preset}.yaml"
         ))
-        aff = cfg.MODEL.AFF
-        model = AutoFocusFormer(
-            num_classes=cfg.MODEL.NUM_CLASSES,
-            embed_dim=tuple(aff.EMBED_DIM),
-            cluster_size=aff.CLUSTER_SIZE,
-            nbhd_size=tuple(aff.NBHD_SIZE),
-            alpha=aff.ALPHA,
-            ds_rate=aff.DS_RATE,
-            reserve_on=aff.RESERVE,
-            depths=tuple(aff.DEPTHS),
-            num_heads=tuple(aff.NUM_HEADS),
-            mlp_ratio=aff.MLP_RATIO,
-            layer_scale=aff.LAYER_SCALE,
-            img_size=cfg.DATA.IMG_SIZE,
-            use_pallas=True,  # census the TPU path
-            dtype=jnp.bfloat16,
-        )
-        b = 128
+        cfg.defrost()
+        cfg.TPU.COMPUTE_DTYPE = "bfloat16"
+        cfg.freeze()
+        # build_model gates use_pallas on the backend — spoof it so the
+        # CPU trace counts the TPU kernel path
+        orig_backend = jax.default_backend
+        jax.default_backend = lambda: "tpu"
+        try:
+            model = build_model(cfg)
+        finally:
+            jax.default_backend = orig_backend
+        b = 128 if cfg.MODEL.TYPE == "aff" else 64
         x = jnp.zeros((b, cfg.DATA.IMG_SIZE, cfg.DATA.IMG_SIZE, 3),
                       jnp.float32)
+        rngs = {"params": jax.random.PRNGKey(0),
+                "upsample": jax.random.PRNGKey(7)}
         variables = jax.eval_shape(
-            lambda x: model.init(jax.random.PRNGKey(0), x, training=False), x
+            lambda x: model.init(rngs, x, training=False), x
         )
 
         def fwd(v, x):
-            return model.apply(v, x, training=False)
+            out = model.apply(v, x, training=False,
+                              rngs={"upsample": jax.random.PRNGKey(7)})
+            return out[-1] if isinstance(out, (list, tuple)) else out
 
         fcounts = census(fwd, variables, x)
 

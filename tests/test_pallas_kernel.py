@@ -146,6 +146,53 @@ def test_stacked_forward_matches_xla(monkeypatch, n):
     )
 
 
+def test_dense_padded_rows_matches_xla():
+    """Unfactorable dense n (617 is prime -> no divisor tile) triggers
+    query-row padding (_dense_pad_tile): fwd + all grads must match the
+    XLA oracle. This is the MaskFiner shape class (n=1921=17*113) whose
+    whole-row tile blew up the remote Mosaic compile (queue r3d-2)."""
+    n = 617
+    q, k, v, ncc, pos, w5, bh, bk, bv = make_inputs(n, seed=7)
+    q_tm, kv_tm = to_token_major(q), fuse_kv(k, v)
+
+    def loss_fused(q_tm, kv_tm, w5, bh, bk, bv):
+        o = fused_cluster_attention(
+            q_tm, kv_tm, ncc, pos, w5, bh, bk, bv, H, CS, R, 0
+        )
+        return (o**2).sum()
+
+    def loss_ref(q_tm, kv_tm, w5, bh, bk, bv):
+        qh = q_tm.reshape(B, n, H, C_).transpose(0, 2, 1, 3)
+        kvh = kv_tm.reshape(B, n, H, 2, C_)
+        kh = kvh[..., 0, :].transpose(0, 2, 1, 3)
+        vh = kvh[..., 1, :].transpose(0, 2, 1, 3)
+        o = xla_reference(qh, kh, vh, ncc, pos, w5, bh, bk, bv, n)
+        return (o**2).sum()
+
+    with jax.default_matmul_precision("highest"):
+        o_f = fused_cluster_attention(
+            q_tm, kv_tm, ncc, pos, w5, bh, bk, bv, H, CS, R, 0
+        )
+        o_ref = xla_reference(q, k, v, ncc, pos, w5, bh, bk, bv, n)
+        np.testing.assert_allclose(
+            np.asarray(o_f), np.asarray(o_ref), atol=2e-5, rtol=1e-4
+        )
+        g1 = jax.grad(loss_fused, argnums=(0, 1, 2, 3, 4, 5))(
+            q_tm, kv_tm, w5, bh, bk, bv
+        )
+        g2 = jax.grad(loss_ref, argnums=(0, 1, 2, 3, 4, 5))(
+            q_tm, kv_tm, w5, bh, bk, bv
+        )
+    for a, b_, name in zip(
+        g1, g2, ["q", "kv", "w5", "bh", "blank_k", "blank_v"]
+    ):
+        scale = max(float(jnp.abs(b_).max()), 1.0)
+        np.testing.assert_allclose(
+            np.asarray(a) / scale, np.asarray(b_) / scale, atol=5e-5,
+            err_msg=f"grad mismatch for {name} (padded dense path)",
+        )
+
+
 @pytest.mark.parametrize("n", [128, 196])
 def test_stacked_split_matches_plain(monkeypatch, n):
     """Phase-split stacked path (MLAFF_SSPLIT=1: all QK matmuls issued
