@@ -943,7 +943,11 @@ def _attention_fwd_impl(q, kv, ncc, pos, pe_kernel, pe_bias, blank_k,
         and window is None and static_ncc is None
         and np_ <= int(os.environ.get("MLAFF_STACK_NMAX", "256"))
     )
-    ssplit = stacked and os.environ.get("MLAFF_SSPLIT", "0") == "1"
+    # DEFAULT ON since the r3f chip A/B (2026-08-21): mini fwd 2820.4 vs
+    # 2800.6 (+0.7%), Small 1048.6 vs 1046.4 — the phase-split lets the
+    # MXU stream the per-(image, head) matmuls. MLAFF_SSPLIT=0 restores
+    # the interleaved per-head chains.
+    ssplit = stacked and os.environ.get("MLAFF_SSPLIT", "1") == "1"
     if stacked:
         per_img = np_ * 2 * c * 2 + np_ * np_ * 4 * 4
         if ssplit:
