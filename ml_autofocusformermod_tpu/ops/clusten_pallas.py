@@ -1159,7 +1159,7 @@ def _attention_fwd_impl(q, kv, ncc, pos, pe_kernel, pe_bias, blank_k,
     nq = n
     q_d, posq_d, ncc_d = q, pos_q, ncc
     if twin is None and not stacked and tq >= n and n > 512:
-        nq, tq = _dense_pad_tile(n, np_)
+        nq, tq = _dense_pad_tile(n, np_, planes=10)
         q_d = _pad_rows(q, nq)
         posq_d = _pad_rows(pos_q, nq)
         ncc_d = _pad_rows(ncc, nq)
@@ -1482,6 +1482,16 @@ def _attention_bwd_impl(q, kv, ncc, pos, pe_kernel, pe_bias, blank_k,
     clamp_hi = clamp_width - 1 if clamp_width else None
     hiprec = q.dtype == jnp.float32
 
+    if window is None:
+        # The dense backward keeps ~2x the forward's live planes per
+        # (image, head) — softmax recompute PLUS dq/dkv/dbias flows — so
+        # re-pick its tile with a doubled plane budget (curriculum UD at
+        # ratio 1.0, n=4161: the fwd-sized tile put the bwd body 20 MB
+        # over the 100 MB scoped-VMEM limit, queue r3f-6). Window/compact
+        # paths must keep the forward's tile so offsets line up; the
+        # dense grid has no such coupling.
+        tq = _pick_tile(n, np_, planes=16)
+
     compact = window is not None and window[0] == "compact"
     if compact:
         _, cu, cbs, np_, starts_np, clc_np, posc_np = window
@@ -1655,7 +1665,7 @@ def _attention_bwd_impl(q, kv, ncc, pos, pe_kernel, pe_bias, blank_k,
         tail_b = tail_operands
         if (tq >= n and n > 512
                 and os.environ.get("MLAFF_TWIN", "0") != "1"):
-            nq_b, tq_b = _dense_pad_tile(n, np_)
+            nq_b, tq_b = _dense_pad_tile(n, np_, planes=16)
             q_b = _pad_rows(q, nq_b)
             posq_b = _pad_rows(pos_q, nq_b)
             ncc_b = _pad_rows(ncc, nq_b)
