@@ -61,6 +61,12 @@ import os
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# fp32 parity probes keep 2x the bf16 planes live; the default 16 MB
+# scoped-VMEM stack rejected small-s1 fp32 by 880 KB (queue r3f-7) —
+# raise to the same 100 MB limit the attention kernel compiles under
+_COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
 
 from .cluster_gather import gather_clusters_onehot
 from .clusten import wf_contract
@@ -309,6 +315,7 @@ def _merge_fwd_impl(weights, feat, ncc, cluster_size):
         out_specs=pl.BlockSpec((gb, n_pad, ic * c), lambda i: (i, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((b, n_pad, ic * c), weights.dtype),
         interpret=_interpret(),
+        compiler_params=_COMPILER_PARAMS,
     )(w4, feat2, nccp)
     return out[:, :n_].reshape(b, n_, ic, c)
 
@@ -347,6 +354,7 @@ def _merge_bwd_impl(weights, feat, ncc, cluster_size, g):
             jax.ShapeDtypeStruct((b, k, cs * c), jnp.float32),
         ],
         interpret=_interpret(),
+        compiler_params=_COMPILER_PARAMS,
     )(w4, feat2, nccp, g3)
     dw = (
         dw4.reshape(b, cs, n_pad, nnc, ic)
