@@ -20,6 +20,7 @@ reference's 1023^2-row lookup table (identical values, no 21 MB constant).
 from __future__ import annotations
 
 import math
+import os
 from typing import Any, Dict, Optional, Sequence, Tuple
 
 import flax.linen as nn
@@ -124,7 +125,17 @@ class MixResBasicLayer(nn.Module):
             cluster_mask = (
                 (member_idx < n).astype(jnp.int32) if k * m != n else None
             )
-            if self.use_pallas:
+            # Very wide dense stages route to the gathered-XLA attention:
+            # the dense kernel crashed the TPU worker at np_ = 4168
+            # (curriculum ratio-1.0 shapes, queues r3g-1/r3h-1 — a
+            # Mosaic-level fault; interpreter parity at the same shape
+            # passes) and its (tq, np_) planes do ~np_/nbhd x the gather
+            # math there anyway. np_ <= 1928 is chip-validated.
+            use_pallas = (
+                self.use_pallas
+                and k * m <= int(os.environ.get("MLAFF_PALLAS_NMAX", "2048"))
+            )
+            if use_pallas:
                 rel_pos = None  # fused kernel computes bias from pos
             else:
                 pos_gathered = gather_clusters_onehot(
@@ -132,9 +143,11 @@ class MixResBasicLayer(nn.Module):
                 )[:, 0]
                 rel_pos = pos_gathered - (pos[:, :, None, :] - R)
 
+        if global_attn:
+            use_pallas = self.use_pallas
         ncc = None if global_attn else nearest_cluster
         csize = 0 if global_attn else m
-        fused = self.use_pallas and not global_attn
+        fused = use_pallas and not global_attn
         if fused:
             pe_feat = None
         else:
@@ -164,7 +177,7 @@ class MixResBasicLayer(nn.Module):
                 attn_drop=self.attn_drop,
                 drop_path=dp,
                 layer_scale=self.layer_scale,
-                use_pallas=self.use_pallas,
+                use_pallas=use_pallas,
                 rel_pos_width=R,
                 clamp_width=tw,
                 dtype=self.dtype,
