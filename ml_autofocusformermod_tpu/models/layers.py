@@ -650,14 +650,19 @@ class ClusterMerging(nn.Module):
 
         # --- merge (CLUSTEN-WF), norm, project (.:361-363) ---
         if sel_ncc is not None:
-            # DEFAULT pallas since the r3f chip A/Bs (2026-08-21): the v3
-            # fused merge kernel wins mini 2820.4 -> 3130.2 (+11%, 2.341x
-            # V100) and Small 1048.6 -> 1108.4 (+5.7%, 3.453x).
-            # MLAFF_MERGE=xla / TPU.MERGE 'xla' restore the one-hot chain.
+            # DEFAULT pallas ON TPU since the r3f chip A/Bs (2026-08-21):
+            # the v3 fused merge kernel wins mini 2820.4 -> 3130.2 (+11%,
+            # 2.341x V100) and Small 1048.6 -> 1108.4 (+5.7%, 3.453x).
+            # Off-TPU the default is the XLA one-hot chain — the compiled
+            # Pallas lowering is TPU-only and the interpreter is far
+            # slower than XLA on CPU (merge must run everywhere CLUSTEN
+            # did, reference aff_transformer.py:361).  MLAFF_MERGE /
+            # TPU.MERGE override either way ('pallas' off-TPU
+            # auto-interprets, see ops/merge_pallas.py::_interpret).
             merge_mode = (
                 os.environ.get("MLAFF_MERGE", "")
                 or self.merge_mode
-                or "pallas"
+                or ("pallas" if jax.default_backend() == "tpu" else "xla")
             )
             if merge_mode == "pallas":
                 # fused kernel: the gathered (b, n'*m, c) features stay in

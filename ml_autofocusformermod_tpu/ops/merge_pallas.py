@@ -76,9 +76,13 @@ __all__ = ["fused_cluster_merge"]
 def _interpret() -> bool:
     # read at CALL time, not import time: this module is imported eagerly
     # by models/layers.py, before test modules get a chance to set the
-    # env var (clusten_pallas gets away with import-time binding only
-    # because it is imported lazily inside ClusterAttention.__call__)
-    return os.environ.get("MLAFF_PALLAS_INTERPRET", "0") == "1"
+    # env var.  Off-TPU backends can only run pallas_call under the
+    # interpreter (XLA:CPU raises otherwise), so auto-interpret there —
+    # an explicit merge_mode='pallas' then works on every backend.
+    return (
+        os.environ.get("MLAFF_PALLAS_INTERPRET", "0") == "1"
+        or jax.default_backend() != "tpu"
+    )
 
 
 def _nccj_column(ncc_all, j):

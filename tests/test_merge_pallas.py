@@ -4,10 +4,6 @@ forward and gradients, interpreter mode on CPU. Reference semantics:
 ``clusten/src/clustenwf_cuda_kernel.cu:18-53`` via ``test_wf_kernel.py``.
 """
 
-import os
-
-os.environ["MLAFF_PALLAS_INTERPRET"] = "1"
-
 import jax
 import jax.numpy as jnp
 import numpy as np
