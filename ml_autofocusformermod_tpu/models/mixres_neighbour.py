@@ -125,16 +125,16 @@ class MixResBasicLayer(nn.Module):
             cluster_mask = (
                 (member_idx < n).astype(jnp.int32) if k * m != n else None
             )
-            # Very wide dense stages route to the gathered-XLA attention:
-            # the dense kernel crashed the TPU worker at np_ = 4168
-            # (curriculum ratio-1.0 shapes, queues r3g-1/r3h-1 — a
-            # Mosaic-level fault; interpreter parity at the same shape
-            # passes) and its (tq, np_) planes do ~np_/nbhd x the gather
-            # math there anyway. np_ <= 1928 is chip-validated.
-            use_pallas = (
-                self.use_pallas
-                and k * m <= int(os.environ.get("MLAFF_PALLAS_NMAX", "2048"))
-            )
+            # Wide dense stages (np_ > 2048, e.g. curriculum ratio-1.0's
+            # np_ = 4168) run the kernel's static K-band path — every
+            # compute plane split below the faulting >4096-lane class
+            # (ops/clusten_pallas.py::_kband_split) — so the kernel now
+            # covers every width like the reference's CLUSTEN does
+            # (clustenqk_cuda_kernel.cu:18-49 has no shape carve-outs).
+            # MLAFF_PALLAS_NMAX survives as an escape hatch only: set a
+            # bound to route wider stages to gathered-XLA instead.
+            nmax = int(os.environ.get("MLAFF_PALLAS_NMAX", "0"))
+            use_pallas = self.use_pallas and (nmax <= 0 or k * m <= nmax)
             if use_pallas:
                 rel_pos = None  # fused kernel computes bias from pos
             else:

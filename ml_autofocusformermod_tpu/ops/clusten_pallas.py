@@ -59,8 +59,18 @@ __all__ = ["fused_cluster_attention"]
 
 NEG_INF = -1e30
 
-# escape hatch so CPU tests can exercise the kernel via the interpreter
-_INTERPRET = os.environ.get("MLAFF_PALLAS_INTERPRET", "0") == "1"
+def _interpret() -> bool:
+    """Run the kernels under the Pallas interpreter?
+
+    Read at CALL time, not import time, so test modules / conftest can set
+    the env var in any order.  Off-TPU backends can only execute
+    ``pallas_call`` under the interpreter (XLA:CPU raises otherwise), so
+    auto-interpret there — the compiled lowering is TPU-only anyway.
+    """
+    return (
+        os.environ.get("MLAFF_PALLAS_INTERPRET", "0") == "1"
+        or jax.default_backend() != "tpu"
+    )
 # fused Pallas backward (flash-style recompute); set =0 to fall back to the
 # XLA one-hot-matmul backward (reference algebra, kept as the oracle)
 _PALLAS_BWD = os.environ.get("MLAFF_PALLAS_BWD", "1") == "1"
@@ -113,6 +123,32 @@ def _dense_pad_tile(n: int, np_: int, planes: int = 8):
     return best[0][0], best[1]
 
 
+def _kband_split(np_: int):
+    """``(nb, Wb, np_pad)`` splitting the padded K axis into static bands,
+    or ``None`` when the full width is safe as one plane.
+
+    The compiled dense kernel faults the TPU worker at np_ = 4168
+    (curriculum ratio-1.0 UD shapes; 3/3 deterministic, queues
+    r3g-1/r3h-1) even though the compile succeeds and the interpreter
+    passes — a Mosaic-level fault in the >4096-lane plane class. Instead
+    of routing those stages off the kernel (the round-3 NMAX guard),
+    split every (tq, np_) compute plane into ``nb`` bands of ``Wb``
+    lanes at static offsets: all lane widths stay inside the
+    chip-validated class (np_ <= 1928 measured good) and the kernels'
+    multi-band joint softmax keeps numerics exact. The reference runs
+    these shapes through CLUSTEN with no shape carve-outs
+    (``clustenqk_cuda_kernel.cu:18-49``).
+
+    ``MLAFF_KBAND`` tunes the trigger/width cap (0 disables banding).
+    """
+    cap = int(os.environ.get("MLAFF_KBAND", "2048"))
+    if cap <= 0 or np_ <= cap:
+        return None
+    nb = -(-np_ // cap)
+    wb = -(-(-(-np_ // nb)) // 128) * 128
+    return nb, wb, nb * wb
+
+
 def _choose_tiling(n: int, np_: int, cs: int, static_ncc) -> Tuple[int, Optional[tuple]]:
     """(tq, window) for the kernel grid.
 
@@ -134,7 +170,7 @@ def _choose_tiling(n: int, np_: int, cs: int, static_ncc) -> Tuple[int, Optional
     """
     use_compact = os.environ.get("MLAFF_COMPACT", "0") == "1"
     static_pos = getattr(static_ncc, "pos", None) if static_ncc else None
-    if static_ncc is not None and (not _INTERPRET or use_compact):
+    if static_ncc is not None and (not _interpret() or use_compact):
         # kappa fitted to the measured stage-1 sweep (tq 112/224/448 ->
         # 7.42/7.12/8.04 ms): per-instance fixed cost is worth ~64 rows
         kappa = int(os.environ.get("MLAFF_KAPPA", "64"))
@@ -149,7 +185,7 @@ def _choose_tiling(n: int, np_: int, cs: int, static_ncc) -> Tuple[int, Optional
         while t <= min(n, 512):
             if n % t == 0:
                 cands = []
-                if not _INTERPRET:
+                if not _interpret():
                     win = _static_window(static_ncc.arr, n, t, cs, np_)
                     if win is not None:
                         cands.append(win)
@@ -432,8 +468,17 @@ def _geometry(posq_ref, pxk, pyk, ncc_ref, bi, tq, W, col0, cs, n_valid,
     return dx, dy, d2, inv, member
 
 
-def _unpack_refs(refs, nb, wb, cu=0, cbs=0, scratch_kv=None):
+def _unpack_refs(refs, nb, wb, cu=0, cbs=0, scratch_kv=None, sbands=False):
     """Shared ref unpacking for fwd/bwd.
+
+    Static-band mode (``sbands=True``, dense ref layout, no offsets
+    operand): the padded K axis is split into ``nb`` fixed bands of
+    ``wb`` rows at compile-time offsets ``j*wb`` — every (tq, W) compute
+    plane stays inside the chip-validated lane-width class (the compiled
+    dense kernel faults the TPU worker at np_=4168, queues r3g/r3h)
+    while the multi-band joint softmax keeps numerics exact. K positions
+    arrive pre-banded as ``(gb, 2*nb, wb)`` (rows 2j/2j+1 = band j x/y)
+    so no operand carries a >4096-lane dimension.
 
     Windowed kernels (nb >= 1) hold the FULL K/V and transposed K-position
     blocks resident in VMEM (fetched once per image group — their index
@@ -483,6 +528,21 @@ def _unpack_refs(refs, nb, wb, cu=0, cbs=0, scratch_kv=None):
 
         return (q_ref, posq_ref, get_kv, get_pos, col0, valids, tail,
                 clc_ref[0, 0, :])
+    if nb and sbands:
+        q_ref, kv_ref, posq_ref, posk_ref = refs[:4]
+        tail = refs[4:]
+        valids = [None] * nb  # padded cols masked via col_idx < n_valid
+
+        def col0(j, bi):
+            return j * wb  # python int: every slice below is static
+
+        def get_kv(j, bi, c0, c1):
+            return kv_ref[bi, j * wb:(j + 1) * wb, c0:c1]
+
+        def get_pos(j, bi):
+            return posk_ref[bi, 2 * j, :], posk_ref[bi, 2 * j + 1, :]
+
+        return q_ref, posq_ref, get_kv, get_pos, col0, valids, tail, None
     if nb:
         off_ref = refs[0]
         q_ref = refs[1]
@@ -537,7 +597,8 @@ def _unpack_refs(refs, nb, wb, cu=0, cbs=0, scratch_kv=None):
 
 def _fwd_kernel(*refs, h: int, cs: int, n_valid: int, rel_width: int,
                 clamp_hi: Optional[int], hiprec: bool, nb: int, wb: int,
-                batch_inv: bool, cu: int = 0, cbs: int = 0, wsg: int = 1):
+                batch_inv: bool, cu: int = 0, cbs: int = 0, wsg: int = 1,
+                sbands: bool = False):
     scratch_kv = None
     scratch_lg = None
     # scratch refs are popped positionally: the wsg logits plane and the
@@ -550,7 +611,7 @@ def _fwd_kernel(*refs, h: int, cs: int, n_valid: int, rel_width: int,
         refs, scratch_kv = refs[:-1], refs[-1]
     (q_ref, posq_ref, get_kv, get_pos, col0, valids,
      (ncc_ref, wpe_ref, bpe_ref, bk_ref, bv_ref, out_ref),
-     col_cluster) = _unpack_refs(refs, nb, wb, cu, cbs, scratch_kv)
+     col_cluster) = _unpack_refs(refs, nb, wb, cu, cbs, scratch_kv, sbands)
     nbands = max(nb, 1)
     gb = q_ref.shape[0]  # images per kernel instance
     tq = q_ref.shape[1]
@@ -926,8 +987,15 @@ def _attention_fwd_impl(q, kv, ncc, pos, pe_kernel, pe_bias, blank_k,
         gb = _gb_for(b, np_ * (2 * c * kv.dtype.itemsize + 2 * 4),
                      budget_mb * 1024 * 1024, h=h)
     else:
-        nb = 0
-        Wb = np_
+        band = _kband_split(np_)
+        if band is not None:
+            # static K-bands: >2048-lane dense stages split each compute
+            # plane into nb (tq, Wb) bands (see _kband_split); np_ grows
+            # to the banded padding and padded cols mask via n_valid
+            nb, Wb, np_ = band
+        else:
+            nb = 0
+            Wb = np_
         # dense K/V per image; batching amortizes per-instance overhead
         # (the small-n stages are otherwise launch-bound)
         gb = _gb_for(b, np_ * 2 * c * 2, 8 * 1024 * 1024, h=h, np_=np_)
@@ -969,6 +1037,7 @@ def _attention_fwd_impl(q, kv, ncc, pos, pe_kernel, pe_bias, blank_k,
     # lax.cond fallback to the dense path when any span overflows
     twin = None
     if (os.environ.get("MLAFF_TWIN", "0") == "1" and window is None
+            and nb == 0  # static K-bands already handle the wide class
             and not stacked and static_ncc is None and np_ > 256):
         ttq = _twin_tile(n)
         if ttq is not None:
@@ -1011,14 +1080,21 @@ def _attention_fwd_impl(q, kv, ncc, pos, pe_kernel, pe_bias, blank_k,
                 "scratch budget)", wsg, req, gb,
             )
 
+    sbands = window is None and nb > 0
     kernel = functools.partial(
         _fwd_kernel, h=h, cs=cs, n_valid=n, rel_width=rel_width,
         clamp_hi=clamp_hi, hiprec=hiprec, nb=nb, wb=Wb,
         batch_inv=static_ncc is not None,
         cu=cu if compact else 0, cbs=cbs if compact else 0, wsg=wsg,
+        sbands=sbands,
     )
     out_shape = jax.ShapeDtypeStruct((b, n, c), q.dtype)
     pos_t = pos_p.transpose(0, 2, 1)
+    if sbands:
+        # per-band K-position rows (gb, 2*nb, Wb): keeps every operand's
+        # lane dim inside the validated width (see _kband_split)
+        pos_t = pos_t.reshape(b, 2, nb, Wb).transpose(0, 2, 1, 3).reshape(
+            b, 2 * nb, Wb)
     tail_operands = (
         pe_kernel.astype(jnp.float32), pe_bias.astype(jnp.float32),
         blank_k.astype(q.dtype), blank_v.astype(jnp.float32),
@@ -1045,7 +1121,7 @@ def _attention_fwd_impl(q, kv, ncc, pos, pe_kernel, pe_bias, blank_k,
         out = pl.pallas_call(
             skernel,
             grid=(b // gb,),
-            interpret=_INTERPRET,
+            interpret=_interpret(),
             compiler_params=compiler_params,
             in_specs=[
                 pl.BlockSpec((gb * np_, c), lambda bi: (bi, 0),
@@ -1104,7 +1180,7 @@ def _attention_fwd_impl(q, kv, ncc, pos, pe_kernel, pe_bias, blank_k,
         return pl.pallas_call(
             kernel,
             grid_spec=grid_spec,
-            interpret=_INTERPRET,
+            interpret=_interpret(),
             compiler_params=compiler_params,
             out_shape=out_shape,
         )(jnp.asarray(starts_np), q, kv_p, pos_q, jnp.asarray(clc_np),
@@ -1148,7 +1224,7 @@ def _attention_fwd_impl(q, kv, ncc, pos, pe_kernel, pe_bias, blank_k,
         return pl.pallas_call(
             kernel,
             grid_spec=grid_spec,
-            interpret=_INTERPRET,
+            interpret=_interpret(),
             compiler_params=compiler_params,
             out_shape=out_shape,
         )(jnp.asarray(offs_np), q, kv_p, pos_q, pos_t, ncc, *tail_operands)
@@ -1168,7 +1244,7 @@ def _attention_fwd_impl(q, kv, ncc, pos, pe_kernel, pe_bias, blank_k,
         return pl.pallas_call(
             kernel,
             grid=(b // gb, nq // tq),
-            interpret=_INTERPRET,
+            interpret=_interpret(),
             compiler_params=compiler_params,
             in_specs=[
                 pl.BlockSpec((gb, tq, c), lambda bi, ti: (bi, ti, 0),
@@ -1177,8 +1253,10 @@ def _attention_fwd_impl(q, kv, ncc, pos, pe_kernel, pe_bias, blank_k,
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((gb, tq, 2), lambda bi, ti: (bi, ti, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((gb, 2, np_), lambda bi, ti: (bi, 0, 0),
-                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(
+                    (gb, 2 * nb, Wb) if sbands else (gb, 2, np_),
+                    lambda bi, ti: (bi, 0, 0),
+                    memory_space=pltpu.VMEM),
                 pl.BlockSpec((gb, tq, nnc), lambda bi, ti: (bi, ti, 0),
                              memory_space=pltpu.VMEM),
                 *tail_specs,
@@ -1233,7 +1311,7 @@ def _attention_fwd_impl(q, kv, ncc, pos, pe_kernel, pe_bias, blank_k,
         return pl.pallas_call(
             wkernel,
             grid_spec=grid_spec,
-            interpret=_INTERPRET,
+            interpret=_interpret(),
             compiler_params=compiler_params,
             out_shape=out_shape,
         )(offs128.reshape(b // gbw, gbw, ntw), q, kv_pw, pos_q, pos_tw,
@@ -1244,7 +1322,8 @@ def _attention_fwd_impl(q, kv, ncc, pos, pe_kernel, pe_bias, blank_k,
 
 def _bwd_kernel(*refs, h: int, cs: int, n_valid: int, rel_width: int,
                 clamp_hi: Optional[int], hiprec: bool, nb: int, wb: int,
-                batch_inv: bool, cu: int = 0, cbs: int = 0):
+                batch_inv: bool, cu: int = 0, cbs: int = 0,
+                sbands: bool = False):
     """Fused backward: recomputes the forward softmax per query tile (flash
     style — nothing but the inputs is saved), then produces dq per tile and
     accumulates dkv / d_pos-embed / d_blank into per-image-group VMEM
@@ -1264,7 +1343,7 @@ def _bwd_kernel(*refs, h: int, cs: int, n_valid: int, rel_width: int,
     (q_ref, posq_ref, get_kv, get_pos, col0, valids,
      (ncc_ref, wpe_ref, bpe_ref, bk_ref, bv_ref, gout_ref,
       dq_ref, dkv_ref, dpe_ref, dblank_ref),
-     col_cluster) = _unpack_refs(refs, nb, wb, cu, cbs, scratch_kv)
+     col_cluster) = _unpack_refs(refs, nb, wb, cu, cbs, scratch_kv, sbands)
     if cu:
         dkvc_ref[...] = jnp.zeros(dkvc_ref.shape, dkvc_ref.dtype)
     nbands = max(nb, 1)
@@ -1511,8 +1590,13 @@ def _attention_bwd_impl(q, kv, ncc, pos, pe_kernel, pe_bias, blank_k,
             np_ * (2 * c * kv.dtype.itemsize + 2 * c * 4 + 2 * 4),
             24 * 1024 * 1024, cap=8, h=h)
     else:
-        nb = 0
-        Wb = np_
+        band = _kband_split(np_)
+        if band is not None:
+            # static K-bands, mirroring the forward (see _kband_split)
+            nb, Wb, np_ = band
+        else:
+            nb = 0
+            Wb = np_
         # cap 8: the unrolled gb*h backward body keeps more planes live
         # than the forward (measured: gb=16 exceeds VMEM at stage-3 shapes)
         gb = _gb_for(b, (np_ * 2 * c * 2) + (2 * np_ * c * 4),
@@ -1522,11 +1606,13 @@ def _attention_bwd_impl(q, kv, ncc, pos, pe_kernel, pe_bias, blank_k,
     pos_p = _pad_rows(pos, np_)
 
     nt = n // tq
+    sbands = window is None and nb > 0
     kernel = functools.partial(
         _bwd_kernel, h=h, cs=cs, n_valid=n, rel_width=rel_width,
         clamp_hi=clamp_hi, hiprec=hiprec, nb=nb, wb=Wb,
         batch_inv=static_ncc is not None,
         cu=cu if compact else 0, cbs=cbs if compact else 0,
+        sbands=sbands,
     )
     out_shape = [
         jax.ShapeDtypeStruct((b, n, c), q.dtype),           # dq
@@ -1609,7 +1695,7 @@ def _attention_bwd_impl(q, kv, ncc, pos, pe_kernel, pe_bias, blank_k,
         outs = pl.pallas_call(
             kernel,
             grid_spec=grid_spec,
-            interpret=_INTERPRET,
+            interpret=_interpret(),
             compiler_params=compiler_params,
             out_shape=out_shape,
         )(jnp.asarray(starts_np), q, kv_p, pos_q, jnp.asarray(clc_np),
@@ -1649,27 +1735,46 @@ def _attention_bwd_impl(q, kv, ncc, pos, pe_kernel, pe_bias, blank_k,
         outs = pl.pallas_call(
             kernel,
             grid_spec=grid_spec,
-            interpret=_INTERPRET,
+            interpret=_interpret(),
             compiler_params=compiler_params,
             out_shape=out_shape,
         )(jnp.asarray(offs_np), q, kv_p, pos_q,
           pos_p.transpose(0, 2, 1), ncc, *tail_operands)
     else:
+        # traced-window backward (same dispatch rule as the forward; the
+        # offsets recompute deterministically from the saved ncc).
+        # Computed BEFORE the padding decision so padding can gate on
+        # whether the window actually materialized (with MLAFF_TWIN=1
+        # and unfactorable n, _twin_tile can find no divisor and return
+        # None — the dense body must then still get its padded grid).
+        twin = None
+        if (os.environ.get("MLAFF_TWIN", "0") == "1"
+                and nb == 0 and static_ncc is None and np_ > 256):
+            ttq = _twin_tile(n)
+            if ttq is not None:
+                wt, offs128, ok = _traced_window(ncc, n, np_, cs, ttq)
+                if wt is not None:
+                    twin = (ttq, wt, offs128, ok)
+
         # Query-row padding for unfactorable dense stages, mirroring the
         # forward (see _dense_pad_tile). Padded g_out rows are ZERO, so
         # their contributions to dkv/dpe/dblank are exact zeros and their
-        # dq rows are sliced off. Skipped under MLAFF_TWIN (the lax.cond
-        # branches must return identical shapes).
+        # dq rows are sliced off. Skipped when a traced window is live
+        # (the lax.cond branches must return identical shapes).
         nq_b, tq_b = n, tq
         q_b, posq_b, ncc_b = q, pos_q, ncc
         tail_b = tail_operands
-        if (tq >= n and n > 512
-                and os.environ.get("MLAFF_TWIN", "0") != "1"):
+        if twin is None and tq >= n and n > 512:
             nq_b, tq_b = _dense_pad_tile(n, np_, planes=16)
             q_b = _pad_rows(q, nq_b)
             posq_b = _pad_rows(pos_q, nq_b)
             ncc_b = _pad_rows(ncc, nq_b)
             tail_b = tail_operands[:-1] + (_pad_rows(g_out, nq_b),)
+        pos_tb = pos_p.transpose(0, 2, 1)
+        if sbands:
+            # per-band K-position rows, mirroring the forward
+            pos_tb = pos_tb.reshape(b, 2, nb, Wb).transpose(
+                0, 2, 1, 3).reshape(b, 2 * nb, Wb)
 
         def _dense_bwd(_):
             oshape = out_shape
@@ -1685,7 +1790,7 @@ def _attention_bwd_impl(q, kv, ncc, pos, pe_kernel, pe_bias, blank_k,
             outs = pl.pallas_call(
                 kernel,
                 grid=(b // gb, nq_b // tq_b),
-                interpret=_INTERPRET,
+                interpret=_interpret(),
                 compiler_params=compiler_params,
                 in_specs=[
                     pl.BlockSpec((gb, tq_b, c), lambda bi, ti: (bi, ti, 0),
@@ -1695,8 +1800,10 @@ def _attention_bwd_impl(q, kv, ncc, pos, pe_kernel, pe_bias, blank_k,
                                  memory_space=pltpu.VMEM),
                     pl.BlockSpec((gb, tq_b, 2), lambda bi, ti: (bi, ti, 0),
                                  memory_space=pltpu.VMEM),
-                    pl.BlockSpec((gb, 2, np_), lambda bi, ti: (bi, 0, 0),
-                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec(
+                        (gb, 2 * nb, Wb) if sbands else (gb, 2, np_),
+                        lambda bi, ti: (bi, 0, 0),
+                        memory_space=pltpu.VMEM),
                     pl.BlockSpec((gb, tq_b, nnc),
                                  lambda bi, ti: (bi, ti, 0),
                                  memory_space=pltpu.VMEM),
@@ -1709,22 +1816,11 @@ def _attention_bwd_impl(q, kv, ncc, pos, pe_kernel, pe_bias, blank_k,
                 ],
                 out_specs=ospecs,
                 out_shape=oshape,
-            )(q_b, kv_p, posq_b, pos_p.transpose(0, 2, 1), ncc_b,
+            )(q_b, kv_p, posq_b, pos_tb, ncc_b,
               *tail_b)
             o_dq, o_dkv, o_dpe, o_dblank = outs
             return (o_dq[:, :n], o_dkv[:, :n], o_dpe.sum(axis=0),
                     o_dblank.sum(axis=0))
-
-        # traced-window backward (same dispatch rule as the forward; the
-        # offsets recompute deterministically from the saved ncc)
-        twin = None
-        if (os.environ.get("MLAFF_TWIN", "0") == "1"
-                and static_ncc is None and np_ > 256):
-            ttq = _twin_tile(n)
-            if ttq is not None:
-                wt, offs128, ok = _traced_window(ncc, n, np_, cs, ttq)
-                if wt is not None:
-                    twin = (ttq, wt, offs128, ok)
 
         if twin is None:
             dq, dkv, dpe_sum, dblank_sum = _dense_bwd(None)
@@ -1796,7 +1892,7 @@ def _attention_bwd_impl(q, kv, ncc, pos, pe_kernel, pe_bias, blank_k,
                 outs = pl.pallas_call(
                     wkernel,
                     grid_spec=grid_spec,
-                    interpret=_INTERPRET,
+                    interpret=_interpret(),
                     compiler_params=compiler_params,
                     out_shape=w_out_shape,
                 )(offs128.reshape(b // gbw, gbw, ntw), q, kv_pw, pos_q,
@@ -1943,7 +2039,7 @@ def _fca_bwd(h, cs, rel_width, clamp_width, static_ncc, residuals,
     force_interp_bwd = (
         os.environ.get("MLAFF_PALLAS_BWD_INTERPRET", "0") == "1"
     )
-    if _PALLAS_BWD and c_ % 8 == 0 and (not _INTERPRET or force_interp_bwd):
+    if _PALLAS_BWD and c_ % 8 == 0 and (not _interpret() or force_interp_bwd):
         dq, dkv, d_pe_kernel, d_pe_bias, d_blank_k, d_blank_v = (
             _attention_bwd_impl(
                 q, kv, ncc, pos, pe_kernel, pe_bias, blank_k, blank_v,

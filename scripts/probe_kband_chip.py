@@ -1,0 +1,87 @@
+"""On-chip probe of the static K-band dense kernel at the curriculum
+ratio-1.0 shape class (n ~ 4161, np_ = 4168 — the r3g-1/r3h-1 TPU-worker
+crash): COMPILED fwd + full grads vs the XLA oracle.
+
+The unbanded dense kernel deterministically faulted the worker at this
+width (>4096-lane plane class); _kband_split now splits every compute
+plane into <= 2048-lane static bands. A pass here (plus the curriculum
+bench) retires the MLAFF_PALLAS_NMAX routing guard.
+
+Usage: python scripts/probe_kband_chip.py [n] [b]
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tests"))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(os.path.dirname(
+                      os.path.abspath(__file__))), ".jax_cache"))
+
+from test_pallas_kernel import (  # noqa: E402
+    fuse_kv, make_inputs, to_token_major, xla_reference, H, CS, R, C_,
+)
+from ml_autofocusformermod_tpu.ops.clusten_pallas import (  # noqa: E402
+    fused_cluster_attention, _kband_split,
+)
+
+
+def main(n, b):
+    import test_pallas_kernel as tpk
+    tpk.B = b
+
+    np_ = -(-n // CS) * CS
+    band = _kband_split(np_)
+    print(f"n={n} b={b} np_={np_} band={band}", flush=True)
+    assert band is not None, "shape does not trigger K-banding"
+
+    q, k, v, ncc, pos, w5, bh, bk, bv = make_inputs(n, seed=11)
+    q_tm, kv_tm = to_token_major(q), fuse_kv(k, v)
+
+    def loss_fused(q_tm, kv_tm):
+        o = fused_cluster_attention(
+            q_tm, kv_tm, ncc, pos, w5, bh, bk, bv, H, CS, R, 0
+        )
+        return (o**2).sum()
+
+    def loss_ref(q_tm, kv_tm):
+        qh = q_tm.reshape(b, n, H, C_).transpose(0, 2, 1, 3)
+        kvh = kv_tm.reshape(b, n, H, 2, C_)
+        kh = kvh[..., 0, :].transpose(0, 2, 1, 3)
+        vh = kvh[..., 1, :].transpose(0, 2, 1, 3)
+        o = xla_reference(qh, kh, vh, ncc, pos, w5, bh, bk, bv, n)
+        return (o**2).sum()
+
+    fwd = jax.jit(lambda a, c: fused_cluster_attention(
+        a, c, ncc, pos, w5, bh, bk, bv, H, CS, R, 0))
+    print("compiling banded fwd...", flush=True)
+    o_f = np.asarray(fwd(q_tm, kv_tm))
+    o_ref = np.asarray(xla_reference(q, k, v, ncc, pos, w5, bh, bk, bv, n))
+    dfwd = np.abs(o_f - o_ref).max()
+    print(f"fwd max abs diff: {dfwd:.3e}", flush=True)
+
+    print("compiling banded bwd...", flush=True)
+    g1 = jax.jit(jax.grad(loss_fused, argnums=(0, 1)))(q_tm, kv_tm)
+    g2 = jax.jit(jax.grad(loss_ref, argnums=(0, 1)))(q_tm, kv_tm)
+    ok = dfwd < 1e-1
+    for a, b_, name in zip(g1, g2, ["q", "kv"]):
+        a, b_ = np.asarray(a), np.asarray(b_)
+        scale = max(float(np.abs(b_).max()), 1.0)
+        rel = np.abs(a - b_).max() / scale
+        print(f"grad {name}: max rel diff {rel:.3e}", flush=True)
+        ok = ok and rel < 1e-2 and np.isfinite(a).all()
+    print("PROBE " + ("PASS" if ok else "FAIL"), flush=True)
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 4161
+    b = int(sys.argv[2]) if len(sys.argv) > 2 else 4
+    sys.exit(main(n, b))

@@ -12,8 +12,6 @@ with per-head (k, v) channel interleave — see clusten_pallas docstring.
 
 import os
 
-os.environ["MLAFF_PALLAS_INTERPRET"] = "1"
-
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -190,6 +188,58 @@ def test_dense_padded_rows_matches_xla():
         np.testing.assert_allclose(
             np.asarray(a) / scale, np.asarray(b_) / scale, atol=5e-5,
             err_msg=f"grad mismatch for {name} (padded dense path)",
+        )
+
+
+def test_dense_kbands_matches_xla(monkeypatch):
+    """Static K-band dense path (np_ > MLAFF_KBAND, see _kband_split):
+    fwd + all grads vs the XLA oracle, with the Pallas bwd kernel forced
+    under the interpreter. A shrunk cap exercises the banding logic at
+    CI-sized shapes; the real trigger is the curriculum ratio-1.0 UD
+    stage np_=4168 that faulted the TPU worker unbanded (queues
+    r3g/r3h). n=617 is prime, so query-row padding composes with the
+    K-bands exactly as at the chip shape (n=4161)."""
+    monkeypatch.setenv("MLAFF_KBAND", "256")
+    monkeypatch.setenv("MLAFF_PALLAS_BWD_INTERPRET", "1")
+    n = 617
+    q, k, v, ncc, pos, w5, bh, bk, bv = make_inputs(n, seed=9)
+    q_tm, kv_tm = to_token_major(q), fuse_kv(k, v)
+
+    def loss_fused(q_tm, kv_tm, w5, bh, bk, bv):
+        o = fused_cluster_attention(
+            q_tm, kv_tm, ncc, pos, w5, bh, bk, bv, H, CS, R, 0
+        )
+        return (o**2).sum()
+
+    def loss_ref(q_tm, kv_tm, w5, bh, bk, bv):
+        qh = q_tm.reshape(B, n, H, C_).transpose(0, 2, 1, 3)
+        kvh = kv_tm.reshape(B, n, H, 2, C_)
+        kh = kvh[..., 0, :].transpose(0, 2, 1, 3)
+        vh = kvh[..., 1, :].transpose(0, 2, 1, 3)
+        o = xla_reference(qh, kh, vh, ncc, pos, w5, bh, bk, bv, n)
+        return (o**2).sum()
+
+    with jax.default_matmul_precision("highest"):
+        o_f = fused_cluster_attention(
+            q_tm, kv_tm, ncc, pos, w5, bh, bk, bv, H, CS, R, 0
+        )
+        o_ref = xla_reference(q, k, v, ncc, pos, w5, bh, bk, bv, n)
+        np.testing.assert_allclose(
+            np.asarray(o_f), np.asarray(o_ref), atol=2e-5, rtol=1e-4
+        )
+        g1 = jax.grad(loss_fused, argnums=(0, 1, 2, 3, 4, 5))(
+            q_tm, kv_tm, w5, bh, bk, bv
+        )
+        g2 = jax.grad(loss_ref, argnums=(0, 1, 2, 3, 4, 5))(
+            q_tm, kv_tm, w5, bh, bk, bv
+        )
+    for a, b_, name in zip(
+        g1, g2, ["q", "kv", "w5", "bh", "blank_k", "blank_v"]
+    ):
+        scale = max(float(jnp.abs(b_).max()), 1.0)
+        np.testing.assert_allclose(
+            np.asarray(a) / scale, np.asarray(b_) / scale, atol=5e-5,
+            err_msg=f"grad mismatch for {name} (K-banded dense path)",
         )
 
 
