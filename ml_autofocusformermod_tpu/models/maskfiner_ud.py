@@ -4,10 +4,14 @@
 Encoder levels (scales 0..n-1) progressively split tokens to finer scales;
 decoder levels re-coarsen by consuming fewer scales, with skip connections
 that channel-concat the matching encoder feature after re-aligning the
-shuffled token order by nearest-position matching (Manhattan cdist+argmin,
-``:150-154``). The upsampling mask is the random oracle placeholder; the
-max-norm and color-change oracle variants are provided as utilities
-(``:156-186``).
+shuffled token order to the first-recorded order. The reference does that
+by Manhattan cdist+argmin (``:150-154``) and then asserts the aligned
+positions EQUAL the recorded ones (``:95``) — i.e. nearest-match is
+always exact-match — so this rebuild aligns by integer-key sort matching
+(:func:`align_to_order`, O(n log n)) instead of the O(n²) distance
+tensor, keeping :func:`find_pos_org_order` as the parity oracle. The
+upsampling mask is the random oracle placeholder; the max-norm and
+color-change oracle variants are provided as utilities (``:156-186``).
 """
 
 from __future__ import annotations
@@ -26,12 +30,46 @@ Dtype = Any
 
 def find_pos_org_order(pos_org: jax.Array, pos_shuffled: jax.Array) -> jax.Array:
     """Index of each original position within the shuffled set (Manhattan
-    cdist + argmin, reference ``maskfiner_up_down.py:150-154``)."""
+    cdist + argmin, reference ``maskfiner_up_down.py:150-154``).
+
+    Test oracle only — the live forward uses :func:`align_to_order`,
+    which produces the identical mapping without the O(n²) distance
+    tensor (the reference itself asserts the aligned positions EQUAL the
+    recorded ones, ``maskfiner_up_down.py:95``, so nearest-match is
+    always exact-match)."""
     d = jnp.abs(
         pos_org[:, :, None, :].astype(jnp.float32)
         - pos_shuffled[:, None, :, :].astype(jnp.float32)
     ).sum(-1)
     return jnp.argmin(d, axis=2)
+
+
+def _pos_key(pos: jax.Array) -> jax.Array:
+    """Unique int32 sort key per 2-D position. Coords are integer (or
+    half-integer) min-patch-unit grid coords < 4096 (the MixRes rel-pos
+    table is pre-sized for 2048-px inputs, ``mixres_neighbour.py:13-14``);
+    x2/y2 doubling keeps half-units exact."""
+    p2 = jnp.round(pos.astype(jnp.float32) * 2.0).astype(jnp.int32)
+    return p2[..., 1] * 32768 + p2[..., 0]
+
+
+def align_to_order(pos_org: jax.Array, pos_shuffled: jax.Array) -> jax.Array:
+    """``idx`` with ``pos_shuffled[b, idx[b, t]] == pos_org[b, t]``.
+
+    The decoder's skip connections must restore each feature scale's
+    token order to the first-recorded order; the token SET is identical
+    (cluster-sorting inside the backbones only permutes it — the
+    reference asserts exact pos equality after alignment). Exact-match
+    by integer-key double-argsort, O(n log n) and one (b, n) int plane —
+    replaces the reference's b×n×n Manhattan cdist (at res2 scale
+    n≈3136 that is a 39 MB fp32 tensor per skip per step).
+    Equivalence vs the cdist+argmin oracle is pinned by
+    ``tests/test_maskfiner.py``."""
+    k_org = _pos_key(pos_org)
+    k_sh = _pos_key(pos_shuffled)
+    p = jnp.argsort(k_sh, axis=1)
+    rank = jnp.argsort(jnp.argsort(k_org, axis=1), axis=1)
+    return jnp.take_along_axis(p, rank, axis=1)
 
 
 def max_norm_upsampling_mask(features: jax.Array) -> jax.Array:
@@ -123,7 +161,7 @@ class UpDownBackbone(nn.Module):
                 if f + "_pos" in outs:
                     # re-align the (cluster-shuffled) token order to the first
                     # recorded order for this feature (:89-95)
-                    idx = find_pos_org_order(outs[f + "_pos"], feat_pos)
+                    idx = align_to_order(outs[f + "_pos"], feat_pos)
                     feat = jnp.take_along_axis(feat, idx[..., None], axis=1)
                     feat_pos = jnp.take_along_axis(
                         feat_pos, idx[..., None], axis=1

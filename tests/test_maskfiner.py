@@ -146,6 +146,42 @@ def test_curriculum_rebuild_changes_token_counts():
     assert out.shape == (1, 10)
 
 
+def test_align_to_order_matches_cdist_oracle():
+    """The live O(n log n) skip realignment (align_to_order) must produce
+    exactly the cdist+argmin oracle's mapping whenever the two pos sets
+    are equal up to permutation — the only case the reference permits
+    (it asserts aligned == recorded, maskfiner_up_down.py:95)."""
+    from ml_autofocusformermod_tpu.models.maskfiner_ud import (
+        align_to_order,
+        find_pos_org_order,
+    )
+
+    rng = np.random.default_rng(3)
+    for n, half_units in [(17, False), (64, False), (33, True)]:
+        b = 3
+        # unique positions per image (sample w/o replacement from a grid)
+        flat = np.stack([
+            rng.choice(4096, size=n, replace=False) for _ in range(b)
+        ])
+        pos_shuffled = np.stack(
+            [flat // 64, flat % 64], axis=-1
+        ).astype(np.float32)
+        if half_units:
+            pos_shuffled = pos_shuffled / 2.0
+        perm = np.stack([rng.permutation(n) for _ in range(b)])
+        pos_org = np.take_along_axis(pos_shuffled, perm[..., None], axis=1)
+
+        fast = np.asarray(align_to_order(
+            jnp.asarray(pos_org), jnp.asarray(pos_shuffled)))
+        oracle = np.asarray(find_pos_org_order(
+            jnp.asarray(pos_org), jnp.asarray(pos_shuffled)))
+        np.testing.assert_array_equal(fast, oracle)
+        np.testing.assert_array_equal(fast, perm)
+        # the reference's own post-alignment assert (:95)
+        realigned = np.take_along_axis(pos_shuffled, fast[..., None], axis=1)
+        np.testing.assert_array_equal(realigned, pos_org)
+
+
 def test_upsampling_mask_oracles_match_reference_formulas():
     """The three (unused-by-default) upsampling-mask oracles pin the
     reference formulas: Manhattan-cdist skip realignment
