@@ -110,6 +110,15 @@ def color_change_upsampling_mask(
     return patch.sum(axis=(-1, -2))
 
 
+def random_upsampling_mask(
+    module: nn.Module, j: int, b: int, n: int
+) -> jax.Array:
+    """Random-oracle upsampling mask (reference
+    ``maskfiner_up_down.py:147-149``). Module-level so the twin-oracle
+    parity tests can monkeypatch identical masks into both frameworks."""
+    return jax.random.normal(_upsample_rng(module, j), (b, n), jnp.float32)
+
+
 class UpDownBackbone(nn.Module):
     backbones: Sequence[nn.Module]
     backbone_dims: Sequence[int]
@@ -190,9 +199,7 @@ class UpDownBackbone(nn.Module):
                 up = False
             if up:
                 b, n, _ = all_feat[0].shape
-                upsampling_mask = jax.random.normal(
-                    _upsample_rng(self, j), (b, n), jnp.float32
-                )
+                upsampling_mask = random_upsampling_mask(self, j, b, n)
 
             if j < len(self.backbones) - 1:
                 all_pos_cat = jnp.concatenate(all_pos, axis=1)

@@ -806,40 +806,53 @@ def _fwd_kernel_stacked(q_ref, kv_ref, posq_ref, posk_ref, ncc_ref,
     c_ = c // h
     nnc = ncc_ref.shape[1]
     prec = jax.lax.Precision.HIGHEST if hiprec else None
+    # MLAFF_PROBE (perf decomposition only — breaks numerics): 'nobias'
+    # drops the 5-madd rel-pos bias (keeps the mask), 'nogeom' drops
+    # geometry+bias+mask entirely, 'nosm' replaces the softmax chain with
+    # a copy. Used by scripts/bench_stage.py to attribute the stacked
+    # path's ~10x-SOL gap between MXU issue, bias VPU work and the
+    # softmax chain. Read at trace time; never set in production.
+    probe = os.environ.get("MLAFF_PROBE", "")
 
-    pxq = posq_ref[:, 0:1].astype(jnp.float32)  # (G, 1) sublane vec
-    pyq = posq_ref[:, 1:2].astype(jnp.float32)
-    # tall K-coordinate planes: per-image lane vectors broadcast down
-    # their np_ row block and stacked (vreg moves, no relayout)
-    pxk = jnp.concatenate(
-        [jnp.broadcast_to(
-            posk_ref[bi, 0, :].astype(jnp.float32)[None, :], (np_, np_))
-         for bi in range(gb)], axis=0)
-    pyk = jnp.concatenate(
-        [jnp.broadcast_to(
-            posk_ref[bi, 1, :].astype(jnp.float32)[None, :], (np_, np_))
-         for bi in range(gb)], axis=0)
-    dx = pxk - pxq
-    dy = pyk - pyq
-    if clamp_hi is not None:
-        R = rel_width
-        dx = jnp.clip(dx + R, 0, clamp_hi) - R
-        dy = jnp.clip(dy + R, 0, clamp_hi) - R
-    d2 = dx * dx + dy * dy
-    inv = jnp.where(d2 > 0, jax.lax.rsqrt(jnp.where(d2 > 0, d2, 1.0)), 0.0)
-    # inv-folded feature planes shared by every head (5-madd bias chain)
-    dist = d2 * inv
-    sinp = dy * inv
-    cosp = dx * inv
+    if probe != "nogeom":
+        pxq = posq_ref[:, 0:1].astype(jnp.float32)  # (G, 1) sublane vec
+        pyq = posq_ref[:, 1:2].astype(jnp.float32)
+        # tall K-coordinate planes: per-image lane vectors broadcast down
+        # their np_ row block and stacked (vreg moves, no relayout)
+        pxk = jnp.concatenate(
+            [jnp.broadcast_to(
+                posk_ref[bi, 0, :].astype(jnp.float32)[None, :], (np_, np_))
+             for bi in range(gb)], axis=0)
+        pyk = jnp.concatenate(
+            [jnp.broadcast_to(
+                posk_ref[bi, 1, :].astype(jnp.float32)[None, :], (np_, np_))
+             for bi in range(gb)], axis=0)
+        dx = pxk - pxq
+        dy = pyk - pyq
+        if clamp_hi is not None:
+            R = rel_width
+            dx = jnp.clip(dx + R, 0, clamp_hi) - R
+            dy = jnp.clip(dy + R, 0, clamp_hi) - R
+        d2 = dx * dx + dy * dy
+        inv = jnp.where(
+            d2 > 0, jax.lax.rsqrt(jnp.where(d2 > 0, d2, 1.0)), 0.0)
+        # inv-folded feature planes shared by every head (5-madd bias chain)
+        dist = d2 * inv
+        sinp = dy * inv
+        cosp = dx * inv
 
-    col_idx = jax.lax.broadcasted_iota(jnp.int32, (G, np_), 1)
-    cc = col_idx // cs
-    member = jnp.zeros((G, np_), jnp.bool_)
-    for j in range(nnc):
-        member = member | (cc == ncc_ref[:, j][:, None])
-    member = member & (col_idx < n_valid)
+        col_idx = jax.lax.broadcasted_iota(jnp.int32, (G, np_), 1)
+        cc = col_idx // cs
+        member = jnp.zeros((G, np_), jnp.bool_)
+        for j in range(nnc):
+            member = member | (cc == ncc_ref[:, j][:, None])
+        member = member & (col_idx < n_valid)
 
     def head_bias(hi):
+        if probe == "nogeom":
+            return 0.0
+        if probe == "nobias":
+            return jnp.where(member, 0.0, NEG_INF)
         # mask folded into the bias plane: post-exp masking is free via
         # exp underflow, same trick as the batch-invariant path
         return jnp.where(
@@ -853,6 +866,8 @@ def _fwd_kernel_stacked(q_ref, kv_ref, posq_ref, posk_ref, ncc_ref,
 
     def qk_head(hi):
         qh = q_ref[:, hi * c_:(hi + 1) * c_]  # (G, c_)
+        if probe == "nomm":  # skip the per-image MXU issue entirely
+            return jnp.broadcast_to(qh[:, :1], (G, np_)), qh[:, :1]
         lgs = []
         for bi in range(gb):
             k = kv_ref[bi, :, 2 * hi * c_:(2 * hi + 1) * c_]
@@ -868,6 +883,8 @@ def _fwd_kernel_stacked(q_ref, kv_ref, posq_ref, posk_ref, ncc_ref,
 
     def softmax_head(lg_raw, blank, hi):
         lg = lg_raw + head_bias(hi)  # (G, np_)
+        if probe == "nosm":
+            return lg * 1e-3, blank * 1e-3
         mx = jnp.maximum(blank, lg.max(axis=-1, keepdims=True))
         p = jnp.exp(lg - mx)
         pb = jnp.exp(blank - mx)
@@ -875,6 +892,11 @@ def _fwd_kernel_stacked(q_ref, kv_ref, posq_ref, posk_ref, ncc_ref,
         return p / denom, pb / denom
 
     def av_head(pn, pbn, hi):
+        if probe == "nomm":
+            out_ref[:, hi * c_:(hi + 1) * c_] = (
+                pn[:, :c_] + pbn
+            ).astype(out_ref.dtype)
+            return
         outs = []
         for bi in range(gb):
             v = kv_ref[bi, :, (2 * hi + 1) * c_:(2 * hi + 2) * c_]
@@ -1592,8 +1614,15 @@ def _attention_bwd_impl(q, kv, ncc, pos, pe_kernel, pe_bias, blank_k,
     else:
         band = _kband_split(np_)
         if band is not None:
-            # static K-bands, mirroring the forward (see _kband_split)
+            # static K-bands, mirroring the forward (see _kband_split).
+            # The banded backward keeps EVERY band's geometry planes live
+            # through the final dpe accumulation plus the p/dp flows, so
+            # charge a much larger per-row plane budget when re-picking
+            # the query tile (np_=4168 at the fwd-style charge compiled
+            # to a 162 MB scoped-VMEM program — over the 128 MB cap,
+            # queue r4a-1).
             nb, Wb, np_ = band
+            tq = _pick_tile(n, np_, planes=40)
         else:
             nb = 0
             Wb = np_
@@ -1765,7 +1794,9 @@ def _attention_bwd_impl(q, kv, ncc, pos, pe_kernel, pe_bias, blank_k,
         q_b, posq_b, ncc_b = q, pos_q, ncc
         tail_b = tail_operands
         if twin is None and tq >= n and n > 512:
-            nq_b, tq_b = _dense_pad_tile(n, np_, planes=16)
+            nq_b, tq_b = _dense_pad_tile(
+                n, np_, planes=40 if nb else 16
+            )
             q_b = _pad_rows(q, nq_b)
             posq_b = _pad_rows(pos_q, nq_b)
             ncc_b = _pad_rows(ncc, nq_b)

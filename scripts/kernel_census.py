@@ -69,14 +69,14 @@ def main(presets):
         cfg.defrost()
         cfg.TPU.COMPUTE_DTYPE = "bfloat16"
         cfg.freeze()
-        # build_model gates use_pallas on the backend — spoof it so the
-        # CPU trace counts the TPU kernel path
+        # build_model gates use_pallas on the backend, and ClusterMerging
+        # resolves its default merge path at TRACE time — spoof the
+        # backend for the whole census so the CPU trace counts the full
+        # TPU kernel set (eval_shape never executes, so the interpret
+        # flag the spoof also affects is moot)
         orig_backend = jax.default_backend
         jax.default_backend = lambda: "tpu"
-        try:
-            model = build_model(cfg)
-        finally:
-            jax.default_backend = orig_backend
+        model = build_model(cfg)
         b = 128 if cfg.MODEL.TYPE == "aff" else 64
         x = jnp.zeros((b, cfg.DATA.IMG_SIZE, cfg.DATA.IMG_SIZE, 3),
                       jnp.float32)
@@ -97,6 +97,7 @@ def main(presets):
             return fwd(v, x).astype(jnp.float32).sum()
 
         gcounts = census(jax.grad(lambda v, x: loss(v, x)), variables, x)
+        jax.default_backend = orig_backend
 
         print(f"== {preset} (b{b}) ==")
         print(f" fwd: {sum(fcounts.values())} pallas calls, "

@@ -198,7 +198,8 @@ def load_reference_package():
     point_utils.knn_keops = _exact_knn
     point_utils.space_filling_cluster = _our_cluster
 
-    for name in ("aff_transformer", "mixres_vit", "mixres_neighbour"):
+    for name in ("aff_transformer", "mixres_vit", "mixres_neighbour",
+                 "maskfiner_up_down", "maskfiner_oracle_teacher_model"):
         spec = importlib.util.spec_from_file_location(
             f"refmodels.{name}", f"{REFERENCE_MODELS}/{name}.py"
         )

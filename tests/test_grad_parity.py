@@ -107,6 +107,156 @@ def test_aff_full_model_grad_parity():
     _assert_tree_close(g_params, mapped["params"], atol=2e-3, rtol=1e-2)
 
 
+def _build_ref_ud(c, ref_pkg):
+    """Reference UpDownBackbone at a config, mirroring the untouched
+    factory ``models/build.py:85-161`` (bb_in_feats, per-level scales /
+    patch_sizes / out_features, decoder in_chans doubling, stochastic-
+    depth distribution)."""
+    import torch
+
+    mr = c.MODEL.MR
+    bb_in_feats = [
+        [None], ["res5"], ["res5", "res4"], ["res5", "res4", "res3"],
+        ["res5", "res4", "res3"], ["res5", "res4"], ["res5"], [None],
+    ]
+    n_scales = mr.N_RESOLUTION_SCALES
+    n_layers = len(mr.NAME)
+    min_patch_size = mr.PATCH_SIZES[n_scales - 1]
+    dpr = [x.item() for x in
+           __import__("torch").linspace(0, mr.DROP_PATH_RATE, sum(mr.DEPTHS))]
+    backbones = []
+    for i, name in enumerate(mr.NAME):
+        first_layer = i == 0
+        in_chans = 3 if first_layer else mr.EMBED_DIM[i - 1]
+        if i >= n_scales:
+            scale = n_layers - i - 1
+            patch_sizes = mr.PATCH_SIZES[i:]
+            out_features = mr.OUT_FEATURES[-(n_layers - i):]
+            in_chans = mr.EMBED_DIM[i - 1] + mr.EMBED_DIM[n_layers - i - 1]
+        else:
+            scale = i
+            patch_sizes = mr.PATCH_SIZES[: i + 1]
+            out_features = mr.OUT_FEATURES[-(i + 1):]
+        drop_path = dpr[sum(mr.DEPTHS[:i]): sum(mr.DEPTHS[: i + 1])]
+        common = dict(
+            patch_sizes=patch_sizes, n_layers=mr.DEPTHS[i],
+            d_model=mr.EMBED_DIM[i], n_heads=mr.NUM_HEADS[i],
+            mlp_ratio=mr.MLP_RATIO[i], dropout=mr.DROP_RATE[i],
+            drop_path_rate=drop_path, split_ratio=mr.SPLIT_RATIO[i],
+            channels=in_chans, n_scales=n_scales,
+            min_patch_size=min_patch_size,
+            upscale_ratio=mr.UPSCALE_RATIO[i], out_features=out_features,
+            first_layer=first_layer, layer_scale=mr.LAYER_SCALE,
+        )
+        if name == "MixResViT":
+            bb = ref_pkg.mixres_vit.MixResViT(
+                num_register_tokens=mr.NUM_REGISTER_TOKENS, **common,
+            )
+        elif name == "MixResNeighbour":
+            bb = ref_pkg.mixres_neighbour.MixResNeighbour(
+                attn_drop_rate=mr.ATTN_DROP_RATE[i],
+                cluster_size=mr.CLUSTER_SIZE[i], nbhd_size=mr.NBHD_SIZE[i],
+                keep_old_scale=mr.KEEP_OLD_SCALE, scale=scale,
+                add_image_data_to_all=mr.ADD_IMAGE_DATA_TO_ALL, **common,
+            )
+        else:
+            raise NotImplementedError(name)
+        backbones.append(bb)
+    return ref_pkg.maskfiner_up_down.UpDownBackbone(
+        backbones=backbones, backbone_dims=mr.EMBED_DIM, out_dim=mr.OUT_DIM,
+        all_out_features=mr.OUT_FEATURES, n_scales=n_scales,
+        num_classes=c.MODEL.NUM_CLASSES, bb_in_feats=bb_in_feats,
+        aux_loss=mr.AUX_LOSS,
+    )
+
+
+@requires_reference
+def test_ud_full_model_grad_parity(monkeypatch):
+    """Whole UpDownBackbone (7 backbones, skips, random-oracle masks):
+    backward parity vs the untouched torch reference (VERDICT r3 item 7).
+    The random upsampling masks are recorded from the reference run and
+    replayed into our model, so both frameworks make identical split
+    decisions; the skip realignment then exercises align_to_order against
+    the reference's cdist path inside a full backward graph."""
+    import torch
+
+    from ref_oracle import load_reference_package
+    from test_maskfiner import tiny_mr
+
+    import ml_autofocusformermod_tpu.models.maskfiner_ud as mud
+    from ml_autofocusformermod_tpu.models.build import build_model
+
+    ref_pkg = load_reference_package()
+    cfg = tiny_mr(
+        "maskfiner_up_down_mini.yaml", **{"MODEL.MR.AUX_LOSS": False}
+    )
+    torch.manual_seed(0)
+    ref_model = _build_ref_ud(cfg, ref_pkg)
+    ref_model.eval()
+
+    rng = np.random.default_rng(11)
+    masks = []
+
+    def gen_mask(B, N):
+        m = rng.standard_normal((B, N)).astype(np.float32)
+        masks.append(m)
+        return torch.from_numpy(m)
+
+    ref_model.generate_random_upsampling_mask = gen_mask
+
+    b, s = 2, cfg.DATA.IMG_SIZE
+    x = rng.standard_normal((b, s, s, 3)).astype(np.float32)
+    w = rng.standard_normal((b, cfg.MODEL.NUM_CLASSES)).astype(np.float32)
+
+    # --- reference forward+backward (records the masks) ---
+    x_t = torch.from_numpy(x.transpose(0, 3, 1, 2)).requires_grad_(True)
+    loss_t = (ref_model(x_t) * torch.from_numpy(w)).sum()
+    loss_t.backward()
+    ref_x_grad = x_t.grad.numpy().transpose(0, 2, 3, 1)
+    ref_grads = _torch_param_grads(ref_model)
+
+    # --- ours: replay the recorded masks ---
+    monkeypatch.setattr(
+        mud, "random_upsampling_mask",
+        lambda module, j, b_, n_: jnp.asarray(masks[j]),
+    )
+    model = build_model(cfg)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0)}, jnp.asarray(x), training=False
+    )
+    sd = {k: v.detach().numpy() for k, v in ref_model.state_dict().items()}
+    variables, missing, unexpected = import_torch_state_dict(
+        dict(variables), sd
+    )
+    assert not missing, f"missing: {missing}"
+    assert not unexpected, f"unexpected: {unexpected}"
+    non_params = {k: v for k, v in variables.items() if k != "params"}
+
+    def loss_fn(params, images):
+        logits = model.apply(
+            {"params": params, **non_params}, images, training=False,
+        )
+        return (logits * w).sum()
+
+    with jax.default_matmul_precision("highest"):
+        loss, (g_params, g_x) = jax.value_and_grad(loss_fn, argnums=(0, 1))(
+            variables["params"], jnp.asarray(x)
+        )
+
+    np.testing.assert_allclose(
+        float(loss), float(loss_t.detach()), rtol=1e-4,
+        err_msg="loss value diverges",
+    )
+    np.testing.assert_allclose(
+        np.asarray(g_x), ref_x_grad, atol=2e-3, rtol=1e-2,
+        err_msg="input gradient diverges",
+    )
+    template = jax.tree_util.tree_map(np.zeros_like, {"params": g_params})
+    mapped, missing, _ = import_torch_state_dict(template, ref_grads)
+    assert not missing, f"params without a torch grad: {missing}"
+    _assert_tree_close(g_params, mapped["params"], atol=2e-3, rtol=1e-2)
+
+
 @requires_reference
 def test_mixres_upsample_level_grad_parity():
     """STE split path: grads must flow through the soft scores (and the
