@@ -299,14 +299,18 @@ class ClusterAttention(nn.Module):
         c_ = c // h
         scale = c_**-0.5
 
-        # the fused kernel has no attention-prob dropout slot; every
-        # reference config runs attn_drop=0, fall back otherwise
+        # the fused kernel supports in-kernel attention-prob dropout
+        # (hash-mask, ops/clusten_pallas.py::_drop_keep) whenever the
+        # per-head width is sublane-aligned — which holds for every
+        # preset (c_ = 32); the XLA fallback only remains for exotic
+        # head widths (the Pallas backward, mandatory under dropout,
+        # needs c_ % 8 == 0)
         fused = (
             self.use_pallas
             and not global_attn
             and nearest_cluster is not None
             and pos is not None
-            and (self.attn_drop == 0.0 or deterministic)
+            and (self.attn_drop == 0.0 or deterministic or c_ % 8 == 0)
         )
 
         q = nn.Dense(
@@ -326,6 +330,16 @@ class ClusterAttention(nn.Module):
         if fused:
             from ..ops.clusten_pallas import fused_cluster_attention
 
+            drop_rate = 0.0 if deterministic else float(self.attn_drop)
+            drop_seed = None
+            if drop_rate > 0.0:
+                # per-call int32 seed from the standard 'dropout' stream;
+                # the kernels expand it to per-element masks via a
+                # stateless coordinate hash (fwd/bwd reproduce it exactly)
+                drop_seed = jax.random.randint(
+                    self.make_rng("dropout"), (1,), 0,
+                    jnp.iinfo(jnp.int32).max, dtype=jnp.int32,
+                )
             # token-major straight through: q (b,n,c) / kv (b,n,2c) feed the
             # kernel exactly as projected — no head splits at the XLA level
             out = fused_cluster_attention(
@@ -334,6 +348,7 @@ class ClusterAttention(nn.Module):
                 blank_k.reshape(h, c_).T, blank_v.reshape(h, c_),
                 h, cluster_size, self.rel_pos_width, self.clamp_width,
                 static_ncc=static_ncc, static_pos=static_pos,
+                drop_rate=drop_rate, drop_seed=drop_seed,
             )
         else:
             q = q.reshape(b, n, h, c_).transpose(0, 2, 1, 3)  # b h n c_

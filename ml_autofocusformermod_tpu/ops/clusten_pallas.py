@@ -595,10 +595,42 @@ def _unpack_refs(refs, nb, wb, cu=0, cbs=0, scratch_kv=None, sbands=False):
     return q_ref, posq_ref, get_kv, get_pos, col0, valids, tail, None
 
 
+def _drop_keep(seed, img, hi, row0, col0, rows, cols, rate):
+    """(rows, cols) fp32 keep/scale plane for attention-prob dropout
+    (reference applies ``attn_drop`` between softmax and AV,
+    ``aff_transformer.py:148``).
+
+    Stateless lowbias32-style integer hash of the GLOBAL (image, head,
+    query-row, kv-col) coordinates — NOT the Pallas PRNG — so the
+    backward kernel reproduces the identical mask under its own,
+    different query tiling (it recomputes the softmax flash-style and
+    must drop the same slots). int32 arithmetic wraps; coordinate
+    collisions beyond 2^32 elements only correlate isolated pairs of
+    drop decisions, harmless for dropout.
+    """
+    shr = jax.lax.shift_right_logical
+    r = jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 0) + row0
+    c = jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 1) + col0
+    # fixed 2^16 row stride: K widths are < 2^16, so (row, col) packs
+    # injectively (pre-wrap) regardless of the caller's padded np_ —
+    # fwd and bwd agree even if their padding differs. Col 65535 is
+    # reserved for the blank slot.
+    x = r * jnp.int32(65536) + c
+    x = x + seed + jnp.int32(-1640531535) * img + jnp.int32(-2048144777) * hi
+    x = x ^ shr(x, 16)
+    x = x * jnp.int32(2146121005)
+    x = x ^ shr(x, 15)
+    x = x * jnp.int32(-2073219445)
+    x = x ^ shr(x, 16)
+    thresh = jnp.int32(int(rate * 2147483647.0))
+    keep = (x & jnp.int32(0x7FFFFFFF)) >= thresh
+    return jnp.where(keep, jnp.float32(1.0 / (1.0 - rate)), 0.0)
+
+
 def _fwd_kernel(*refs, h: int, cs: int, n_valid: int, rel_width: int,
                 clamp_hi: Optional[int], hiprec: bool, nb: int, wb: int,
                 batch_inv: bool, cu: int = 0, cbs: int = 0, wsg: int = 1,
-                sbands: bool = False):
+                sbands: bool = False, drop_rate: float = 0.0):
     scratch_kv = None
     scratch_lg = None
     # scratch refs are popped positionally: the wsg logits plane and the
@@ -609,9 +641,14 @@ def _fwd_kernel(*refs, h: int, cs: int, n_valid: int, rel_width: int,
         refs, scratch_lg = refs[:-1], refs[-1]
     if cu:
         refs, scratch_kv = refs[:-1], refs[-1]
-    (q_ref, posq_ref, get_kv, get_pos, col0, valids,
-     (ncc_ref, wpe_ref, bpe_ref, bk_ref, bv_ref, out_ref),
+    (q_ref, posq_ref, get_kv, get_pos, col0, valids, tail,
      col_cluster) = _unpack_refs(refs, nb, wb, cu, cbs, scratch_kv, sbands)
+    if drop_rate > 0.0:
+        (ncc_ref, wpe_ref, bpe_ref, bk_ref, bv_ref, seed_ref,
+         out_ref) = tail
+    else:
+        ncc_ref, wpe_ref, bpe_ref, bk_ref, bv_ref, out_ref = tail
+        seed_ref = None
     nbands = max(nb, 1)
     gb = q_ref.shape[0]  # images per kernel instance
     tq = q_ref.shape[1]
@@ -770,11 +807,24 @@ def _fwd_kernel(*refs, h: int, cs: int, n_valid: int, rel_width: int,
                 denom = denom + p.sum(axis=-1, keepdims=True)
             pb = pb_num / denom
 
+            if seed_ref is not None:
+                # attention-prob dropout after the softmax (reference
+                # aff_transformer.py:148); blank slot uses reserved col
+                seed0 = seed_ref[0]
+                img = pl.program_id(0) * gb + bi
+                row0 = pl.program_id(1) * tq
+                pb = pb * _drop_keep(
+                    seed0, img, hi, row0, 65535, tq, 1, drop_rate)
             out = pb * bv_ref[hi:hi + 1, :].astype(jnp.float32)
             for j, p in enumerate(ps):
                 v = get_kv(j, bi, (2 * hi + 1) * c_, (2 * hi + 2) * c_)
+                pn = p / denom
+                if seed_ref is not None:
+                    pn = pn * _drop_keep(
+                        seed0, img, hi, row0, col0(j, bi), tq, wb,
+                        drop_rate)
                 out = out + jax.lax.dot_general(
-                    (p / denom).astype(v.dtype), v, (((1,), (0,)), ((), ())),
+                    pn.astype(v.dtype), v, (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32, precision=prec,
                 )
             out_ref[bi, :, hi * c_:(hi + 1) * c_] = out.astype(out_ref.dtype)
@@ -975,7 +1025,7 @@ def _gb_for(b: int, per_image_bytes: int, budget: int, cap: int = 16,
 
 def _attention_fwd_impl(q, kv, ncc, pos, pe_kernel, pe_bias, blank_k,
                         blank_v, h, cs, rel_width, clamp_width,
-                        static_ncc=None):
+                        static_ncc=None, drop=None):
     b, n, c = q.shape
     nnc = ncc.shape[-1]
     kk = -(-n // cs)
@@ -1030,7 +1080,7 @@ def _attention_fwd_impl(q, kv, ncc, pos, pe_kernel, pe_bias, blank_k,
     # (scripts/parity_stack.py). MLAFF_STACK=0 restores the plain path.
     stacked = (
         os.environ.get("MLAFF_STACK", "1") == "1"
-        and window is None and static_ncc is None
+        and window is None and static_ncc is None and drop is None
         and np_ <= int(os.environ.get("MLAFF_STACK_NMAX", "256"))
     )
     # DEFAULT ON since the r3f chip A/B (2026-08-21): mini fwd 2820.4 vs
@@ -1060,6 +1110,7 @@ def _attention_fwd_impl(q, kv, ncc, pos, pe_kernel, pe_bias, blank_k,
     twin = None
     if (os.environ.get("MLAFF_TWIN", "0") == "1" and window is None
             and nb == 0  # static K-bands already handle the wide class
+            and drop is None
             and not stacked and static_ncc is None and np_ > 256):
         ttq = _twin_tile(n)
         if ttq is not None:
@@ -1078,7 +1129,8 @@ def _attention_fwd_impl(q, kv, ncc, pos, pe_kernel, pe_bias, blank_k,
     # MLAFF_WSTACK overrides for experiments (MLAFF_WSTACK=1 restores the
     # per-image chain).
     wsg = 1
-    if window is not None and not compact and static_ncc is not None:
+    if (window is not None and not compact and static_ncc is not None
+            and drop is None):
         env_wsg = os.environ.get("MLAFF_WSTACK")
         req = max(1, int(env_wsg)) if env_wsg else (8 if c <= 64 else 2)
         wsg = req
@@ -1108,7 +1160,7 @@ def _attention_fwd_impl(q, kv, ncc, pos, pe_kernel, pe_bias, blank_k,
         clamp_hi=clamp_hi, hiprec=hiprec, nb=nb, wb=Wb,
         batch_inv=static_ncc is not None,
         cu=cu if compact else 0, cbs=cbs if compact else 0, wsg=wsg,
-        sbands=sbands,
+        sbands=sbands, drop_rate=drop[0] if drop is not None else 0.0,
     )
     out_shape = jax.ShapeDtypeStruct((b, n, c), q.dtype)
     pos_t = pos_p.transpose(0, 2, 1)
@@ -1127,6 +1179,11 @@ def _attention_fwd_impl(q, kv, ncc, pos, pe_kernel, pe_bias, blank_k,
         pl.BlockSpec(memory_space=pltpu.VMEM),  # blank_k (c_, h)
         pl.BlockSpec(memory_space=pltpu.VMEM),  # blank_v (h, c_)
     ]
+    if drop is not None:
+        # dropout seed rides SMEM; appended last so the no-drop program
+        # (operands, hash) is byte-identical to before — cache preserved
+        tail_operands = tail_operands + (drop[1].astype(jnp.int32),)
+        tail_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
     compiler_params = pltpu.CompilerParams(
         vmem_limit_bytes=100 * 1024 * 1024
     )
@@ -1345,7 +1402,7 @@ def _attention_fwd_impl(q, kv, ncc, pos, pe_kernel, pe_bias, blank_k,
 def _bwd_kernel(*refs, h: int, cs: int, n_valid: int, rel_width: int,
                 clamp_hi: Optional[int], hiprec: bool, nb: int, wb: int,
                 batch_inv: bool, cu: int = 0, cbs: int = 0,
-                sbands: bool = False):
+                sbands: bool = False, drop_rate: float = 0.0):
     """Fused backward: recomputes the forward softmax per query tile (flash
     style — nothing but the inputs is saved), then produces dq per tile and
     accumulates dkv / d_pos-embed / d_blank into per-image-group VMEM
@@ -1362,10 +1419,15 @@ def _bwd_kernel(*refs, h: int, cs: int, n_valid: int, rel_width: int,
     if cu:
         refs, scratch_kv, dkvc_ref = refs[:-2], refs[-2], refs[-1]
     starts_ref = refs[0] if cu else None
-    (q_ref, posq_ref, get_kv, get_pos, col0, valids,
-     (ncc_ref, wpe_ref, bpe_ref, bk_ref, bv_ref, gout_ref,
-      dq_ref, dkv_ref, dpe_ref, dblank_ref),
+    (q_ref, posq_ref, get_kv, get_pos, col0, valids, tail,
      col_cluster) = _unpack_refs(refs, nb, wb, cu, cbs, scratch_kv, sbands)
+    if drop_rate > 0.0:
+        (ncc_ref, wpe_ref, bpe_ref, bk_ref, bv_ref, seed_ref, gout_ref,
+         dq_ref, dkv_ref, dpe_ref, dblank_ref) = tail
+    else:
+        (ncc_ref, wpe_ref, bpe_ref, bk_ref, bv_ref, gout_ref,
+         dq_ref, dkv_ref, dpe_ref, dblank_ref) = tail
+        seed_ref = None
     if cu:
         dkvc_ref[...] = jnp.zeros(dkvc_ref.shape, dkvc_ref.dtype)
     nbands = max(nb, 1)
@@ -1469,10 +1531,28 @@ def _bwd_kernel(*refs, h: int, cs: int, n_valid: int, rel_width: int,
             pb = pb_num * pinv
 
             # --- softmax backward across bands ---
+            # With attention dropout (out = sum_j p_j mask_j v_j):
+            # dL/dp_j = mask_j * (go . v_j), so the dp planes are masked
+            # BEFORE the s-reduction, while the softmax jacobian itself
+            # uses the pre-drop p. dv uses the dropped probs (below).
+            dmasks = None
+            if seed_ref is not None:
+                seed0 = seed_ref[0]
+                img = pl.program_id(0) * gb + bi
+                row0 = ti * tq
+                dmasks = [
+                    _drop_keep(seed0, img, hi, row0, col0(j, bi), tq, wb,
+                               drop_rate)
+                    for j in range(nbands)
+                ]
+                bmask = _drop_keep(seed0, img, hi, row0, 65535, tq, 1,
+                                   drop_rate)
             dpb = jax.lax.dot_general(
                 go32, bv_ref[hi:hi + 1, :], (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32, precision=prec,
             )  # (tq, 1)
+            if dmasks is not None:
+                dpb = dpb * bmask
             dps = []
             s = dpb * pb
             for j, p in enumerate(ps):
@@ -1481,6 +1561,8 @@ def _bwd_kernel(*refs, h: int, cs: int, n_valid: int, rel_width: int,
                     go, v, (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32, precision=prec,
                 )  # (tq, Wb)
+                if dmasks is not None:
+                    dp = dp * dmasks[j]
                 dps.append(dp)
                 s = s + (dp * p).sum(axis=-1, keepdims=True)
             dlb = pb * (dpb - s)  # (tq, 1)
@@ -1499,8 +1581,9 @@ def _bwd_kernel(*refs, h: int, cs: int, n_valid: int, rel_width: int,
                     dlm, q, (((0,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32, precision=prec,
                 )  # (Wb, c_)
+                pa = p if dmasks is None else p * dmasks[j]
                 dvw = jax.lax.dot_general(
-                    p.astype(md), go, (((0,), (0,)), ((), ())),
+                    pa.astype(md), go, (((0,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32, precision=prec,
                 )  # (Wb, c_)
                 k0 = 2 * hi * c_
@@ -1545,10 +1628,11 @@ def _bwd_kernel(*refs, h: int, cs: int, n_valid: int, rel_width: int,
                 q.astype(jnp.float32), dlb, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32, precision=prec,
             )  # (c_, 1)
+            pbd = pb if dmasks is None else pb * bmask
             dbv = jax.lax.dot_general(
-                go32, pb, (((0,), (0,)), ((), ())),
+                go32, pbd, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32, precision=prec,
-            )  # (c_, 1) — d_blank_v[hi] = sum_t pb[t] * g_out[t]
+            )  # (c_, 1) — d_blank_v[hi] = sum_t pb_dropped[t] * g_out[t]
             dblank_ref[0, 0:c_, hi:hi + 1] = (
                 dblank_ref[0, 0:c_, hi:hi + 1] + dbk
             )
@@ -1570,7 +1654,7 @@ def _bwd_kernel(*refs, h: int, cs: int, n_valid: int, rel_width: int,
 
 def _attention_bwd_impl(q, kv, ncc, pos, pe_kernel, pe_bias, blank_k,
                         blank_v, g_out, h, cs, rel_width, clamp_width,
-                        static_ncc):
+                        static_ncc, drop=None):
     """Pallas backward; static decisions (tile, window, gb) mirror the
     forward exactly so window offsets line up."""
     b, n, c = q.shape
@@ -1641,7 +1725,7 @@ def _attention_bwd_impl(q, kv, ncc, pos, pe_kernel, pe_bias, blank_k,
         clamp_hi=clamp_hi, hiprec=hiprec, nb=nb, wb=Wb,
         batch_inv=static_ncc is not None,
         cu=cu if compact else 0, cbs=cbs if compact else 0,
-        sbands=sbands,
+        sbands=sbands, drop_rate=drop[0] if drop is not None else 0.0,
     )
     out_shape = [
         jax.ShapeDtypeStruct((b, n, c), q.dtype),           # dq
@@ -1649,9 +1733,20 @@ def _attention_bwd_impl(q, kv, ncc, pos, pe_kernel, pe_bias, blank_k,
         jax.ShapeDtypeStruct((b // gb, 8, 128), jnp.float32),    # pe parts
         jax.ShapeDtypeStruct((b // gb, 2 * c_, h), jnp.float32),  # blank parts
     ]
-    tail_operands = (
-        pe_kernel.astype(jnp.float32), pe_bias.astype(jnp.float32),
-        blank_k.astype(q.dtype), blank_v.astype(jnp.float32), g_out,
+    if drop is not None:
+        tail_operands = (
+            pe_kernel.astype(jnp.float32), pe_bias.astype(jnp.float32),
+            blank_k.astype(q.dtype), blank_v.astype(jnp.float32),
+            drop[1].astype(jnp.int32), g_out,
+        )
+    else:
+        tail_operands = (
+            pe_kernel.astype(jnp.float32), pe_bias.astype(jnp.float32),
+            blank_k.astype(q.dtype), blank_v.astype(jnp.float32), g_out,
+        )
+    # seed spec (SMEM) slots between blank_v and g_out when dropout is on
+    seed_specs = (
+        [pl.BlockSpec(memory_space=pltpu.SMEM)] if drop is not None else []
     )
     compiler_params = pltpu.CompilerParams(
         vmem_limit_bytes=100 * 1024 * 1024
@@ -1711,6 +1806,7 @@ def _attention_bwd_impl(q, kv, ncc, pos, pe_kernel, pe_bias, blank_k,
                 pl.BlockSpec(memory_space=pltpu.SMEM),
                 pl.BlockSpec(memory_space=pltpu.VMEM),
                 pl.BlockSpec(memory_space=pltpu.VMEM),
+                *seed_specs,
                 pl.BlockSpec((gb, tq, c),
                              lambda bi, ti, sts: (bi, ti, 0),
                              memory_space=pltpu.VMEM),
@@ -1755,6 +1851,7 @@ def _attention_bwd_impl(q, kv, ncc, pos, pe_kernel, pe_bias, blank_k,
                 pl.BlockSpec(memory_space=pltpu.SMEM),
                 pl.BlockSpec(memory_space=pltpu.VMEM),
                 pl.BlockSpec(memory_space=pltpu.VMEM),
+                *seed_specs,
                 pl.BlockSpec((gb, tq, c),
                              lambda bi, ti, offs: (bi, ti, 0),
                              memory_space=pltpu.VMEM),
@@ -1842,6 +1939,7 @@ def _attention_bwd_impl(q, kv, ncc, pos, pe_kernel, pe_bias, blank_k,
                     pl.BlockSpec(memory_space=pltpu.SMEM),
                     pl.BlockSpec(memory_space=pltpu.VMEM),
                     pl.BlockSpec(memory_space=pltpu.VMEM),
+                    *seed_specs,
                     pl.BlockSpec((gb, tq_b, c), lambda bi, ti: (bi, ti, 0),
                                  memory_space=pltpu.VMEM),
                 ],
@@ -1990,7 +2088,8 @@ def _pad_mask(ncc, cs, n, nnc):
 def fused_cluster_attention(q, kv, ncc, pos, pe_kernel, pe_bias,
                             blank_k, blank_v, num_heads, cs, rel_width,
                             clamp_width=0, static_ncc=None,
-                            static_pos=None):
+                            static_pos=None, drop_rate=0.0,
+                            drop_seed=None):
     """Fused local cluster attention (see module docstring).
 
     Args:
@@ -2020,12 +2119,28 @@ def fused_cluster_attention(q, kv, ncc, pos, pe_kernel, pe_bias,
             it additionally enables the compact-union K/V layout
             (``MLAFF_COMPACT=1``, see ``_static_compact``).
 
+        drop_rate / drop_seed: attention-prob dropout (reference
+            ``aff_transformer.py:148``). When ``drop_rate > 0`` a (1,)
+            int32 ``drop_seed`` must be supplied; the kernels drop
+            post-softmax probabilities (incl. the blank slot) with a
+            stateless coordinate hash (see ``_drop_keep``), identically
+            reproduced in the backward. Requires c_ % 8 == 0 (the Pallas
+            backward is mandatory — the XLA-oracle bwd has no mask).
+            The no-drop program is byte-identical to drop_rate=0.
+
     Returns:
         out (b, n, c) with the blank-token contribution already added.
     """
     wrapped = (
         None if static_ncc is None else _StaticNcc(static_ncc, static_pos)
     )
+    if drop_rate > 0.0:
+        assert drop_seed is not None, "drop_rate > 0 requires drop_seed"
+        c_ = q.shape[-1] // num_heads
+        assert c_ % 8 == 0, "fused attention dropout requires c_ % 8 == 0"
+        return _fca_drop(q, kv, ncc, pos, pe_kernel, pe_bias, blank_k,
+                         blank_v, drop_seed, num_heads, cs, rel_width,
+                         clamp_width, wrapped, float(drop_rate))
     return _fca(q, kv, ncc, pos, pe_kernel, pe_bias, blank_k, blank_v,
                 num_heads, cs, rel_width, clamp_width, wrapped)
 
@@ -2154,3 +2269,48 @@ def _fca_bwd(h, cs, rel_width, clamp_width, static_ncc, residuals,
 
 
 _fca.defvjp(_fca_fwd, _fca_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10, 11, 12, 13, 14))
+def _fca_drop(q, kv, ncc, pos, pe_kernel, pe_bias, blank_k, blank_v,
+              seed, h, cs, rel_width, clamp_width, static_ncc, drop_rate):
+    """Dropout variant of :func:`_fca` (separate primitive so the
+    no-drop path's traced program — and its compile cache — is
+    untouched). ``seed`` is a (1,) int32 operand; ``drop_rate`` is
+    static."""
+    return _attention_fwd_impl(
+        q, kv, ncc, pos, pe_kernel, pe_bias, blank_k, blank_v,
+        h, cs, rel_width, clamp_width, static_ncc,
+        drop=(drop_rate, seed),
+    )
+
+
+def _fca_drop_fwd(q, kv, ncc, pos, pe_kernel, pe_bias, blank_k, blank_v,
+                  seed, h, cs, rel_width, clamp_width, static_ncc,
+                  drop_rate):
+    out = _attention_fwd_impl(
+        q, kv, ncc, pos, pe_kernel, pe_bias, blank_k, blank_v,
+        h, cs, rel_width, clamp_width, static_ncc,
+        drop=(drop_rate, seed),
+    )
+    return out, (q, kv, ncc, pos, pe_kernel, pe_bias, blank_k, blank_v,
+                 seed)
+
+
+def _fca_drop_bwd(h, cs, rel_width, clamp_width, static_ncc, drop_rate,
+                  residuals, g_out):
+    # the Pallas backward is mandatory here (the XLA-oracle bwd has no
+    # dropout mask); fused_cluster_attention enforces c_ % 8 == 0
+    q, kv, ncc, pos, pe_kernel, pe_bias, blank_k, blank_v, seed = residuals
+    dq, dkv, d_pe_kernel, d_pe_bias, d_blank_k, d_blank_v = (
+        _attention_bwd_impl(
+            q, kv, ncc, pos, pe_kernel, pe_bias, blank_k, blank_v,
+            g_out, h, cs, rel_width, clamp_width, static_ncc,
+            drop=(drop_rate, seed),
+        )
+    )
+    return (dq, dkv, None, None, d_pe_kernel, d_pe_bias,
+            d_blank_k, d_blank_v, None)
+
+
+_fca_drop.defvjp(_fca_drop_fwd, _fca_drop_bwd)

@@ -243,6 +243,67 @@ def test_dense_kbands_matches_xla(monkeypatch):
         )
 
 
+def test_fused_attention_dropout(monkeypatch):
+    """In-kernel attention-prob dropout (hash-mask, _drop_keep):
+    rate=0 is byte-identical to the no-drop primitive; fixed seed is
+    deterministic; seeds decorrelate; near-zero rate reduces to the
+    identity; and custom_vjp gradients match directional finite
+    differences — which only holds if the BACKWARD kernel regenerates
+    the identical mask under its own (different) query tiling."""
+    monkeypatch.setenv("MLAFF_PALLAS_BWD_INTERPRET", "1")
+    n = 128
+    q, k, v, ncc, pos, w5, bh, bk, bv = make_inputs(n, seed=13)
+    q_tm, kv_tm = to_token_major(q), fuse_kv(k, v)
+
+    def run(qa, kva, rate, s):
+        return fused_cluster_attention(
+            qa, kva, ncc, pos, w5, bh, bk, bv, H, CS, R, 0,
+            drop_rate=rate, drop_seed=s,
+        )
+
+    with jax.default_matmul_precision("highest"):
+        base = run(q_tm, kv_tm, 0.0, None)
+        s1 = jnp.asarray([1234], jnp.int32)
+        s2 = jnp.asarray([77], jnp.int32)
+        d1 = run(q_tm, kv_tm, 0.3, s1)
+        d1b = run(q_tm, kv_tm, 0.3, s1)
+        d2 = run(q_tm, kv_tm, 0.3, s2)
+        tiny = run(q_tm, kv_tm, 1e-7, s1)
+
+    np.testing.assert_array_equal(np.asarray(d1), np.asarray(d1b))
+    assert np.abs(np.asarray(d1) - np.asarray(d2)).max() > 1e-3, (
+        "different seeds must produce different masks"
+    )
+    assert np.abs(np.asarray(d1) - np.asarray(base)).max() > 1e-3, (
+        "rate=0.3 must actually drop something"
+    )
+    np.testing.assert_allclose(
+        np.asarray(tiny), np.asarray(base), atol=1e-5, rtol=1e-5,
+        err_msg="rate->0 must reduce to the identity",
+    )
+
+    # directional finite-difference gradient check at fixed seed
+    wN = jax.random.normal(jax.random.PRNGKey(5), base.shape)
+
+    def loss(q_tm, kv_tm):
+        return (run(q_tm, kv_tm, 0.3, s1) * wN).sum()
+
+    dq_dir = jax.random.normal(jax.random.PRNGKey(6), q_tm.shape)
+    dkv_dir = jax.random.normal(jax.random.PRNGKey(7), kv_tm.shape)
+    with jax.default_matmul_precision("highest"):
+        gq, gkv = jax.grad(loss, argnums=(0, 1))(q_tm, kv_tm)
+        analytic = float((gq * dq_dir).sum() + (gkv * dkv_dir).sum())
+        eps = 1e-3
+        lp = loss(q_tm + eps * dq_dir, kv_tm + eps * dkv_dir)
+        lm = loss(q_tm - eps * dq_dir, kv_tm - eps * dkv_dir)
+        numeric = float(lp - lm) / (2 * eps)
+    np.testing.assert_allclose(
+        analytic, numeric, rtol=2e-2,
+        err_msg="dropout custom_vjp disagrees with finite differences "
+                "(fwd/bwd hash masks out of sync?)",
+    )
+
+
 @pytest.mark.parametrize("n", [128, 196])
 def test_stacked_split_matches_plain(monkeypatch, n):
     """Phase-split stacked path (MLAFF_SSPLIT=1: all QK matmuls issued
