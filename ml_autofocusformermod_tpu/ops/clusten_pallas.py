@@ -864,7 +864,7 @@ def _fwd_kernel_stacked(q_ref, kv_ref, posq_ref, posk_ref, ncc_ref,
     # softmax chain. Read at trace time; never set in production.
     probe = os.environ.get("MLAFF_PROBE", "")
 
-    if probe != "nogeom":
+    if "nogeom" not in probe:
         pxq = posq_ref[:, 0:1].astype(jnp.float32)  # (G, 1) sublane vec
         pyq = posq_ref[:, 1:2].astype(jnp.float32)
         # tall K-coordinate planes: per-image lane vectors broadcast down
@@ -899,9 +899,9 @@ def _fwd_kernel_stacked(q_ref, kv_ref, posq_ref, posk_ref, ncc_ref,
         member = member & (col_idx < n_valid)
 
     def head_bias(hi):
-        if probe == "nogeom":
+        if "nogeom" in probe:
             return 0.0
-        if probe == "nobias":
+        if "nobias" in probe:
             return jnp.where(member, 0.0, NEG_INF)
         # mask folded into the bias plane: post-exp masking is free via
         # exp underflow, same trick as the batch-invariant path
@@ -916,7 +916,7 @@ def _fwd_kernel_stacked(q_ref, kv_ref, posq_ref, posk_ref, ncc_ref,
 
     def qk_head(hi):
         qh = q_ref[:, hi * c_:(hi + 1) * c_]  # (G, c_)
-        if probe == "nomm":  # skip the per-image MXU issue entirely
+        if "nomm" in probe:  # skip the per-image MXU issue entirely
             return jnp.broadcast_to(qh[:, :1], (G, np_)), qh[:, :1]
         lgs = []
         for bi in range(gb):
@@ -933,7 +933,7 @@ def _fwd_kernel_stacked(q_ref, kv_ref, posq_ref, posk_ref, ncc_ref,
 
     def softmax_head(lg_raw, blank, hi):
         lg = lg_raw + head_bias(hi)  # (G, np_)
-        if probe == "nosm":
+        if "nosm" in probe:
             return lg * 1e-3, blank * 1e-3
         mx = jnp.maximum(blank, lg.max(axis=-1, keepdims=True))
         p = jnp.exp(lg - mx)
@@ -942,7 +942,7 @@ def _fwd_kernel_stacked(q_ref, kv_ref, posq_ref, posk_ref, ncc_ref,
         return p / denom, pb / denom
 
     def av_head(pn, pbn, hi):
-        if probe == "nomm":
+        if "nomm" in probe:
             out_ref[:, hi * c_:(hi + 1) * c_] = (
                 pn[:, :c_] + pbn
             ).astype(out_ref.dtype)
@@ -1704,9 +1704,10 @@ def _attention_bwd_impl(q, kv, ncc, pos, pe_kernel, pe_bias, blank_k,
             # charge a much larger per-row plane budget when re-picking
             # the query tile (np_=4168 at the fwd-style charge compiled
             # to a 162 MB scoped-VMEM program — over the 128 MB cap,
-            # queue r4a-1).
+            # queue r4a-1; planes=40 still left the fp32/hiprec variant
+            # 13 M over the 100 M limit, queue r4b-1 — 48 holds both).
             nb, Wb, np_ = band
-            tq = _pick_tile(n, np_, planes=40)
+            tq = _pick_tile(n, np_, planes=48)
         else:
             nb = 0
             Wb = np_
@@ -1892,7 +1893,7 @@ def _attention_bwd_impl(q, kv, ncc, pos, pe_kernel, pe_bias, blank_k,
         tail_b = tail_operands
         if twin is None and tq >= n and n > 512:
             nq_b, tq_b = _dense_pad_tile(
-                n, np_, planes=40 if nb else 16
+                n, np_, planes=48 if nb else 16
             )
             q_b = _pad_rows(q, nq_b)
             posq_b = _pad_rows(pos_q, nq_b)

@@ -119,8 +119,8 @@ def main(batch: int, steps: int) -> None:
         "value": [round(pre_tail, 4), round(post_head, 4)],
         "unit": "ce_loss_pre_tail_post_head",
         "boundary_epoch": e_boundary,
-        "grads_finite": f0 and f1,
-        "ok": ok,
+        "grads_finite": bool(f0 and f1),
+        "ok": bool(ok),
     }))
     sys.exit(0 if ok else 1)
 
