@@ -983,6 +983,172 @@ def _fwd_kernel_stacked(q_ref, kv_ref, posq_ref, posk_ref, ncc_ref,
         av_head(pn, pbn, hi)
 
 
+def _bwd_kernel_stacked(q_ref, kv_ref, posq_ref, posk_ref, ncc_ref,
+                        wpe_ref, bpe_ref, bk_ref, bv_ref, gout_ref,
+                        dq_ref, dkv_ref, dpe_ref, dblank_ref, *,
+                        h: int, cs: int, n_valid: int, np_: int,
+                        rel_width: int, clamp_hi: Optional[int],
+                        hiprec: bool, gb: int):
+    """Row-stacked backward for the small-token dense stages.
+
+    The plain ``_bwd_kernel`` at np_ <= 256 pays the same per-(image,
+    head) chain-issue tax the stacked FORWARD eliminated (r2 chip A/B:
+    mini +3.3%, Small +6%) — the r4b train profile shows the stage-3
+    backward at 2.87 ms/block vs the stacked forward's 0.67. Mirror of
+    ``_fwd_kernel_stacked``: the image group is folded into rows at the
+    XLA level, every VPU chain — geometry, softmax recompute, the
+    softmax jacobian, the dpe reductions — runs ONCE per head over the
+    tall (gb*np_, np_) plane; only the QK/AV/dq/dkv matmuls stay per
+    image. Padded rows carry zero g_out, so their dkv/dpe/dblank
+    contributions are exact zeros. dkv accumulates per-head in f32
+    VMEM (deterministic, no atomics — reference scatter:
+    ``clustenqk_cuda_kernel.cu:125``)."""
+    G = gb * np_
+    c = q_ref.shape[1]
+    c_ = c // h
+    nnc = ncc_ref.shape[1]
+    prec = jax.lax.Precision.HIGHEST if hiprec else None
+
+    pxq = posq_ref[:, 0:1].astype(jnp.float32)
+    pyq = posq_ref[:, 1:2].astype(jnp.float32)
+    pxk = jnp.concatenate(
+        [jnp.broadcast_to(
+            posk_ref[bi, 0, :].astype(jnp.float32)[None, :], (np_, np_))
+         for bi in range(gb)], axis=0)
+    pyk = jnp.concatenate(
+        [jnp.broadcast_to(
+            posk_ref[bi, 1, :].astype(jnp.float32)[None, :], (np_, np_))
+         for bi in range(gb)], axis=0)
+    dx = pxk - pxq
+    dy = pyk - pyq
+    if clamp_hi is not None:
+        R = rel_width
+        dx = jnp.clip(dx + R, 0, clamp_hi) - R
+        dy = jnp.clip(dy + R, 0, clamp_hi) - R
+    d2 = dx * dx + dy * dy
+    inv = jnp.where(d2 > 0, jax.lax.rsqrt(jnp.where(d2 > 0, d2, 1.0)), 0.0)
+    dist = d2 * inv
+    sinp = dy * inv
+    cosp = dx * inv
+
+    col_idx = jax.lax.broadcasted_iota(jnp.int32, (G, np_), 1)
+    cc = col_idx // cs
+    member = jnp.zeros((G, np_), jnp.bool_)
+    for j in range(nnc):
+        member = member | (cc == ncc_ref[:, j][:, None])
+    member = member & (col_idx < n_valid)
+
+    row_i = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+    lane_i = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+    dpe_tile = jnp.zeros((8, 128), jnp.float32)
+    # per-head dk/dv touch disjoint channel blocks of the (h, 2, c_)
+    # interleave — collect parts and write each image's dkv block once
+    dkv_parts = [[None] * (2 * h) for _ in range(gb)]
+    dbks, dbvs = [], []
+
+    for hi in range(h):
+        qh = q_ref[:, hi * c_:(hi + 1) * c_]  # (G, c_)
+        goh = gout_ref[:, hi * c_:(hi + 1) * c_]
+        go32 = goh.astype(jnp.float32)
+        md = kv_ref.dtype
+
+        # --- forward recompute (identical math to _fwd_kernel_stacked) ---
+        lgs = []
+        for bi in range(gb):
+            k = kv_ref[bi, :, 2 * hi * c_:(2 * hi + 1) * c_]
+            lgs.append(jax.lax.dot_general(
+                qh[bi * np_:(bi + 1) * np_, :], k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=prec,
+            ))
+        lg = jnp.concatenate(lgs, axis=0) + jnp.where(
+            member,
+            wpe_ref[0, hi] * dx + wpe_ref[1, hi] * dy
+            + wpe_ref[2, hi] * dist + wpe_ref[3, hi] * sinp
+            + wpe_ref[4, hi] * cosp + bpe_ref[hi],
+            NEG_INF,
+        )
+        blank = jax.lax.dot_general(
+            qh, bk_ref[:, hi:hi + 1], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec,
+        )  # (G, 1)
+        mx = jnp.maximum(blank, lg.max(axis=-1, keepdims=True))
+        p = jnp.exp(lg - mx)
+        pb = jnp.exp(blank - mx)
+        pinv = 1.0 / (pb + p.sum(axis=-1, keepdims=True))
+        p = p * pinv
+        pb = pb * pinv
+
+        # --- softmax jacobian over the tall plane ---
+        dpb = jax.lax.dot_general(
+            go32, bv_ref[hi:hi + 1, :], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec,
+        )  # (G, 1)
+        dps = []
+        for bi in range(gb):
+            v = kv_ref[bi, :, (2 * hi + 1) * c_:(2 * hi + 2) * c_]
+            dps.append(jax.lax.dot_general(
+                goh[bi * np_:(bi + 1) * np_, :], v,
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=prec,
+            ))
+        dp = jnp.concatenate(dps, axis=0)  # (G, np_)
+        s = dpb * pb + (dp * p).sum(axis=-1, keepdims=True)
+        dl = p * (dp - s)  # (G, np_); 0 at non-member slots (p there is 0)
+        dlb = pb * (dpb - s)  # (G, 1)
+        dlm = dl.astype(md)
+
+        # --- dq / dkv: per-image matmuls on the row blocks ---
+        dqs = []
+        for bi in range(gb):
+            sl = slice(bi * np_, (bi + 1) * np_)
+            k = kv_ref[bi, :, 2 * hi * c_:(2 * hi + 1) * c_]
+            dqs.append(jax.lax.dot_general(
+                dlm[sl, :], k, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=prec,
+            ))
+            dkw = jax.lax.dot_general(
+                dlm[sl, :], qh[sl, :], (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=prec,
+            )  # (np_, c_)
+            dvw = jax.lax.dot_general(
+                p[sl, :].astype(md), goh[sl, :], (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=prec,
+            )
+            dkv_parts[bi][2 * hi] = dkw
+            dkv_parts[bi][2 * hi + 1] = dvw
+        dq = jnp.concatenate(dqs, axis=0) + dlb * bk_ref[:, hi].astype(
+            jnp.float32)[None, :]
+        dq_ref[:, hi * c_:(hi + 1) * c_] = dq.astype(dq_ref.dtype)
+
+        # --- dpe: one tall reduce per feature (was per image) ---
+        for f, plane in enumerate((dx, dy, dist, sinp, cosp)):
+            val = (dl * plane).sum()
+            dpe_tile = dpe_tile + jnp.where(
+                (row_i == f) & (lane_i == hi), val, 0.0
+            )
+        dpe_tile = dpe_tile + jnp.where(
+            (row_i == 5) & (lane_i == hi), dl.sum(), 0.0
+        )
+
+        # --- blank grads over the tall rows ---
+        dbks.append(jax.lax.dot_general(
+            qh.astype(jnp.float32), dlb, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec,
+        ))  # (c_, 1)
+        dbvs.append(jax.lax.dot_general(
+            go32, pb, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec,
+        ))
+
+    for bi in range(gb):
+        dkv_ref[bi] = jnp.concatenate(dkv_parts[bi], axis=1)
+    dblank_ref[0] = jnp.concatenate(
+        [jnp.concatenate(dbks, axis=1), jnp.concatenate(dbvs, axis=1)],
+        axis=0,
+    )
+    dpe_ref[...] = dpe_tile[None]
+
+
 def _pad_rows(x, np_):
     n = x.shape[1]
     if np_ == n:
@@ -1752,6 +1918,95 @@ def _attention_bwd_impl(q, kv, ncc, pos, pe_kernel, pe_bias, blank_k,
     compiler_params = pltpu.CompilerParams(
         vmem_limit_bytes=100 * 1024 * 1024
     )
+
+    # row-stacked backward for the small-token stages (mirror of the
+    # stacked forward's dispatch rule; see _bwd_kernel_stacked — the
+    # plain bwd at these shapes is per-(image, head) chain-issue bound:
+    # r4b train profile, stage-3 bwd 2.87 ms/block vs stacked fwd 0.67)
+    stacked_bwd = (
+        os.environ.get("MLAFF_STACK_BWD", "1") == "1"
+        and os.environ.get("MLAFF_STACK", "1") == "1"
+        and window is None and static_ncc is None and drop is None
+        and np_ <= int(os.environ.get("MLAFF_STACK_NMAX", "256"))
+    )
+    if stacked_bwd:
+        # bwd keeps ~2x the fwd's live planes (softmax recompute + dp/dl
+        # + dkv parts); halve the fwd stacked budget accordingly
+        per_img = np_ * 2 * c * (2 + 4) + np_ * np_ * 4 * 8
+        gb_s = _gb_for(b, per_img, 40 * 1024 * 1024, h=h, np_=np_)
+        env = os.environ.get("MLAFF_STACK_GB")
+        if env:
+            gb_s = min(gb_s, int(env))
+            while b % gb_s:
+                gb_s -= 1
+        skernel = functools.partial(
+            _bwd_kernel_stacked, h=h, cs=cs, n_valid=n, np_=np_,
+            rel_width=rel_width, clamp_hi=clamp_hi, hiprec=hiprec,
+            gb=gb_s,
+        )
+        q_s = _pad_rows(q, np_).reshape(b * np_, c)
+        posq_s = _pad_rows(pos_q, np_).reshape(b * np_, 2)
+        ncc_s = _pad_rows(ncc, np_).reshape(b * np_, nnc)
+        go_s = _pad_rows(g_out, np_).reshape(b * np_, c)
+        outs = pl.pallas_call(
+            skernel,
+            grid=(b // gb_s,),
+            interpret=_interpret(),
+            compiler_params=compiler_params,
+            in_specs=[
+                pl.BlockSpec((gb_s * np_, c), lambda bi: (bi, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((gb_s, np_, 2 * c), lambda bi: (bi, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((gb_s * np_, 2), lambda bi: (bi, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((gb_s, 2, np_), lambda bi: (bi, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((gb_s * np_, nnc), lambda bi: (bi, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec((gb_s * np_, c), lambda bi: (bi, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((gb_s * np_, c), lambda bi: (bi, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((gb_s, np_, 2 * c), lambda bi: (bi, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 8, 128), lambda bi: (bi, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 2 * c_, h), lambda bi: (bi, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((b * np_, c), q.dtype),
+                jax.ShapeDtypeStruct((b, np_, 2 * c), jnp.float32),
+                jax.ShapeDtypeStruct((b // gb_s, 8, 128), jnp.float32),
+                jax.ShapeDtypeStruct((b // gb_s, 2 * c_, h), jnp.float32),
+            ],
+        )(q_s, kv_p, posq_s, pos_p.transpose(0, 2, 1), ncc_s,
+          pe_kernel.astype(jnp.float32), pe_bias.astype(jnp.float32),
+          blank_k.astype(q.dtype), blank_v.astype(jnp.float32), go_s)
+        o_dq, o_dkv, o_dpe, o_dblank = outs
+        dq = o_dq.reshape(b, np_, c)[:, :n]
+        dkv = o_dkv[:, :n]
+        dpe_sum = o_dpe.sum(axis=0)
+        dblank_sum = o_dblank.sum(axis=0)
+        d_pe_kernel = dpe_sum[:5, :h]
+        d_pe_bias = dpe_sum[5, :h]
+        d_blank_k = dblank_sum[:c_]
+        d_blank_v = dblank_sum[c_:].T
+        return (
+            dq,
+            dkv.astype(kv.dtype),
+            d_pe_kernel.astype(pe_kernel.dtype),
+            d_pe_bias.astype(pe_bias.dtype),
+            d_blank_k.astype(blank_k.dtype),
+            d_blank_v.astype(blank_v.dtype),
+        )
 
     def out_specs(windowed):
         if windowed:

@@ -243,6 +243,49 @@ def test_dense_kbands_matches_xla(monkeypatch):
         )
 
 
+@pytest.mark.parametrize("n", [128, 196])
+def test_stacked_backward_matches_xla(monkeypatch, n):
+    """Row-stacked BACKWARD kernel (_bwd_kernel_stacked, small-token
+    stages) vs the XLA oracle: all six input/param grads. n=196 covers
+    the padded-rows case (np_=200). Forced under the interpreter —
+    without MLAFF_PALLAS_BWD_INTERPRET the oracle bwd would run and the
+    kernel would have zero CPU coverage."""
+    monkeypatch.setenv("MLAFF_PALLAS_BWD_INTERPRET", "1")
+    monkeypatch.setenv("MLAFF_STACK_BWD", "1")
+    q, k, v, ncc, pos, w5, bh, bk, bv = make_inputs(n, seed=21)
+    q_tm, kv_tm = to_token_major(q), fuse_kv(k, v)
+
+    def loss_fused(q_tm, kv_tm, w5, bh, bk, bv):
+        o = fused_cluster_attention(
+            q_tm, kv_tm, ncc, pos, w5, bh, bk, bv, H, CS, R, 0
+        )
+        return (o**2).sum()
+
+    def loss_ref(q_tm, kv_tm, w5, bh, bk, bv):
+        qh = q_tm.reshape(B, n, H, C_).transpose(0, 2, 1, 3)
+        kvh = kv_tm.reshape(B, n, H, 2, C_)
+        kh = kvh[..., 0, :].transpose(0, 2, 1, 3)
+        vh = kvh[..., 1, :].transpose(0, 2, 1, 3)
+        o = xla_reference(qh, kh, vh, ncc, pos, w5, bh, bk, bv, n)
+        return (o**2).sum()
+
+    with jax.default_matmul_precision("highest"):
+        g1 = jax.grad(loss_fused, argnums=(0, 1, 2, 3, 4, 5))(
+            q_tm, kv_tm, w5, bh, bk, bv
+        )
+        g2 = jax.grad(loss_ref, argnums=(0, 1, 2, 3, 4, 5))(
+            q_tm, kv_tm, w5, bh, bk, bv
+        )
+    for a, b_, name in zip(
+        g1, g2, ["q", "kv", "w5", "bh", "blank_k", "blank_v"]
+    ):
+        scale = max(float(jnp.abs(b_).max()), 1.0)
+        np.testing.assert_allclose(
+            np.asarray(a) / scale, np.asarray(b_) / scale, atol=5e-5,
+            err_msg=f"grad mismatch for {name} (stacked bwd)",
+        )
+
+
 def test_fused_attention_dropout(monkeypatch):
     """In-kernel attention-prob dropout (hash-mask, _drop_keep):
     rate=0 is byte-identical to the no-drop primitive; fixed seed is
