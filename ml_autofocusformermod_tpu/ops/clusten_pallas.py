@@ -1568,7 +1568,8 @@ def _attention_fwd_impl(q, kv, ncc, pos, pe_kernel, pe_bias, blank_k,
 def _bwd_kernel(*refs, h: int, cs: int, n_valid: int, rel_width: int,
                 clamp_hi: Optional[int], hiprec: bool, nb: int, wb: int,
                 batch_inv: bool, cu: int = 0, cbs: int = 0,
-                sbands: bool = False, drop_rate: float = 0.0):
+                sbands: bool = False, drop_rate: float = 0.0,
+                wsg: int = 1):
     """Fused backward: recomputes the forward softmax per query tile (flash
     style — nothing but the inputs is saved), then produces dq per tile and
     accumulates dkv / d_pos-embed / d_blank into per-image-group VMEM
@@ -1581,7 +1582,10 @@ def _bwd_kernel(*refs, h: int, cs: int, n_valid: int, rel_width: int,
     resident dkv block (padded union slots hold exact zeros — their
     softmax probabilities are masked to 0 — so their clamped-to-0 target
     rows are unharmed)."""
-    scratch_kv = dkvc_ref = None
+    scratch_kv = dkvc_ref = scratch_lg = scratch_dp = None
+    assert not (wsg > 1 and cu), "wsg>1 and compact are mutually exclusive"
+    if wsg > 1:
+        refs, scratch_lg, scratch_dp = refs[:-2], refs[-2], refs[-1]
     if cu:
         refs, scratch_kv, dkvc_ref = refs[:-2], refs[-2], refs[-1]
     starts_ref = refs[0] if cu else None
@@ -1647,6 +1651,149 @@ def _bwd_kernel(*refs, h: int, cs: int, n_valid: int, rel_width: int,
              for g in geos]
             for hi in range(h)
         ]
+
+    # row-stacked windowed BACKWARD (batch_inv contract; the bwd twin of
+    # the forward's MLAFF_WSTACK move, r4b train profile: stage-1 bwd
+    # 15.3 ms/block vs its wsg-stacked fwd 4.05): per-image logits and
+    # dp planes are staged into tall (nbands, wsg*tq, Wb) f32 scratches
+    # at static row offsets, and the softmax recompute + jacobian + dpe
+    # chains run ONCE per head over wsg images' rows. QK/AV/dq/dkv
+    # matmuls and the banded dkv accumulation stay per image.
+    if wsg > 1 and scratch_lg is not None:
+        for b0 in range(0, gb, wsg):
+            for hi in range(h):
+                q_tall = q_ref[b0:b0 + wsg, :, hi * c_:(hi + 1) * c_].reshape(
+                    wsg * tq, c_)
+                go_tall = gout_ref[
+                    b0:b0 + wsg, :, hi * c_:(hi + 1) * c_
+                ].reshape(wsg * tq, c_)
+                go32_tall = go_tall.astype(jnp.float32)
+                md = get_kv(0, b0, 0, c_).dtype
+                for j in range(nbands):
+                    for o in range(wsg):
+                        lg = jax.lax.dot_general(
+                            q_ref[b0 + o, :, hi * c_:(hi + 1) * c_],
+                            get_kv(j, b0 + o, 2 * hi * c_,
+                                   (2 * hi + 1) * c_),
+                            (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                            precision=prec,
+                        )
+                        scratch_lg[j, o * tq:(o + 1) * tq, :] = (
+                            lg + biases[hi][j]
+                        )
+                        scratch_dp[j, o * tq:(o + 1) * tq, :] = (
+                            jax.lax.dot_general(
+                                go_tall[o * tq:(o + 1) * tq, :],
+                                get_kv(j, b0 + o, (2 * hi + 1) * c_,
+                                       (2 * hi + 2) * c_),
+                                (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32,
+                                precision=prec,
+                            )
+                        )
+                blank = jax.lax.dot_general(
+                    q_tall, bk_ref[:, hi:hi + 1], (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32, precision=prec,
+                )  # (wsg*tq, 1)
+                tall_lg = [scratch_lg[j] for j in range(nbands)]
+                mx = blank
+                for lg in tall_lg:
+                    mx = jnp.maximum(mx, lg.max(axis=-1, keepdims=True))
+                pb = jnp.exp(blank - mx)
+                denom = pb
+                ps = []
+                for lg in tall_lg:
+                    p = jnp.exp(lg - mx)
+                    ps.append(p)
+                    denom = denom + p.sum(axis=-1, keepdims=True)
+                pinv = 1.0 / denom
+                ps = [p * pinv for p in ps]
+                pb = pb * pinv
+                dpb = jax.lax.dot_general(
+                    go32_tall, bv_ref[hi:hi + 1, :], (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32, precision=prec,
+                )  # (wsg*tq, 1)
+                dps = [scratch_dp[j] for j in range(nbands)]
+                s = dpb * pb
+                for p, dp in zip(ps, dps):
+                    s = s + (dp * p).sum(axis=-1, keepdims=True)
+                dlb = pb * (dpb - s)
+                dls = [p * (dp - s) for p, dp in zip(ps, dps)]
+
+                for o in range(wsg):
+                    osl = slice(o * tq, (o + 1) * tq)
+                    dq = dlb[osl] * bk_ref[:, hi].astype(jnp.float32)[None, :]
+                    for j, dl in enumerate(dls):
+                        dlm = dl[osl].astype(md)
+                        k = get_kv(j, b0 + o, 2 * hi * c_,
+                                   (2 * hi + 1) * c_)
+                        dq = dq + jax.lax.dot_general(
+                            dlm, k, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                            precision=prec,
+                        )
+                        dkw = jax.lax.dot_general(
+                            dlm, q_ref[b0 + o, :, hi * c_:(hi + 1) * c_],
+                            (((0,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                            precision=prec,
+                        )
+                        dvw = jax.lax.dot_general(
+                            ps[j][osl].astype(md), go_tall[osl],
+                            (((0,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                            precision=prec,
+                        )
+                        k0 = 2 * hi * c_
+                        v0 = (2 * hi + 1) * c_
+                        c0b = col0(j, b0 + o)
+                        dkv_ref[b0 + o, pl.ds(c0b, wb), k0:k0 + c_] = (
+                            dkv_ref[b0 + o, pl.ds(c0b, wb), k0:k0 + c_]
+                            + dkw
+                        )
+                        dkv_ref[b0 + o, pl.ds(c0b, wb), v0:v0 + c_] = (
+                            dkv_ref[b0 + o, pl.ds(c0b, wb), v0:v0 + c_]
+                            + dvw
+                        )
+                    dq_ref[b0 + o, :, hi * c_:(hi + 1) * c_] = (
+                        dq.astype(dq_ref.dtype)
+                    )
+
+                # dpe: image-summed dl per band, then 5 plane reduces
+                # (geometry is image-invariant under batch_inv)
+                for j, dl in enumerate(dls):
+                    dl_sum = dl[0:tq, :]
+                    for o in range(1, wsg):
+                        dl_sum = dl_sum + dl[o * tq:(o + 1) * tq, :]
+                    g = geos[j]
+                    for f, plane in enumerate(
+                        (g[0], g[1], g[5], g[6], g[7])
+                    ):
+                        val = (dl_sum * plane).sum()
+                        dpe_tile = dpe_tile + jnp.where(
+                            (row_i == f) & (lane_i == hi), val, 0.0
+                        )
+                    dpe_tile = dpe_tile + jnp.where(
+                        (row_i == 5) & (lane_i == hi), dl_sum.sum(), 0.0
+                    )
+
+                dbk = jax.lax.dot_general(
+                    q_tall.astype(jnp.float32), dlb, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32, precision=prec,
+                )
+                dbv = jax.lax.dot_general(
+                    go32_tall, pb, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32, precision=prec,
+                )
+                dblank_ref[0, 0:c_, hi:hi + 1] = (
+                    dblank_ref[0, 0:c_, hi:hi + 1] + dbk
+                )
+                dblank_ref[0, c_:2 * c_, hi:hi + 1] = (
+                    dblank_ref[0, c_:2 * c_, hi:hi + 1] + dbv
+                )
+        dpe_ref[...] = dpe_ref[...] + dpe_tile
+        return
 
     for bi in range(gb):
         if not batch_inv:
@@ -1823,6 +1970,7 @@ def _attention_bwd_impl(q, kv, ncc, pos, pe_kernel, pe_bias, blank_k,
                         static_ncc, drop=None):
     """Pallas backward; static decisions (tile, window, gb) mirror the
     forward exactly so window offsets line up."""
+    wsg_b = 1
     b, n, c = q.shape
     nnc = ncc.shape[-1]
     kk = -(-n // cs)
@@ -1861,6 +2009,30 @@ def _attention_bwd_impl(q, kv, ncc, pos, pe_kernel, pe_bias, blank_k,
             b,
             np_ * (2 * c * kv.dtype.itemsize + 2 * c * 4 + 2 * 4),
             24 * 1024 * 1024, cap=8, h=h)
+        # bwd row-stacking (see the wsg branch in _bwd_kernel): snap the
+        # requested group to a divisor of gb and to the scoped-VMEM
+        # budget — the bwd keeps ~5 tall band planes live (2 scratches
+        # + the p/dp/dl value planes)
+        if static_ncc is not None and drop is None:
+            # OPT-IN until the r4f chip parity/A-B (the windowed bwd has
+            # no interpreter coverage): MLAFF_WSTACK_BWD=1 requests the
+            # fwd's shape-aware default group, =N forces N
+            env_wsg = os.environ.get("MLAFF_WSTACK_BWD", "0")
+            req = int(env_wsg)
+            if req == 1:
+                req = 8 if c <= 64 else 2
+            wsg_b = max(1, req)
+            while wsg_b > 1 and gb % wsg_b:
+                wsg_b -= 1
+            resident = gb * np_ * (
+                2 * c * kv.dtype.itemsize + 2 * c * 4 + 2 * 4
+            )
+            limit = 64 * 1024 * 1024
+            while (wsg_b > 1 and
+                   max(nb, 1) * wsg_b * tq * Wb * 4 * 5 + resident > limit):
+                wsg_b -= 1
+                while wsg_b > 1 and gb % wsg_b:
+                    wsg_b -= 1
     else:
         band = _kband_split(np_)
         if band is not None:
@@ -1893,6 +2065,7 @@ def _attention_bwd_impl(q, kv, ncc, pos, pe_kernel, pe_bias, blank_k,
         batch_inv=static_ncc is not None,
         cu=cu if compact else 0, cbs=cbs if compact else 0,
         sbands=sbands, drop_rate=drop[0] if drop is not None else 0.0,
+        wsg=wsg_b,
     )
     out_shape = [
         jax.ShapeDtypeStruct((b, n, c), q.dtype),           # dq
@@ -1927,7 +2100,12 @@ def _attention_bwd_impl(q, kv, ncc, pos, pe_kernel, pe_bias, blank_k,
         os.environ.get("MLAFF_STACK_BWD", "1") == "1"
         and os.environ.get("MLAFF_STACK", "1") == "1"
         and window is None and static_ncc is None and drop is None
-        and np_ <= int(os.environ.get("MLAFF_STACK_NMAX", "256"))
+        # separate bwd bound: the fwd lost at stage-2 widths (np_=784,
+        # -0.8% mini) but the bwd's chain fraction is larger — A/B'able
+        and np_ <= int(os.environ.get(
+            "MLAFF_STACK_BWD_NMAX",
+            os.environ.get("MLAFF_STACK_NMAX", "256"),
+        ))
     )
     if stacked_bwd:
         # bwd keeps ~2x the fwd's live planes (softmax recompute + dp/dl
@@ -2113,6 +2291,11 @@ def _attention_bwd_impl(q, kv, ncc, pos, pe_kernel, pe_bias, blank_k,
                              memory_space=pltpu.VMEM),
             ],
             out_specs=out_specs(True),
+            scratch_shapes=(
+                [pltpu.VMEM((max(nb, 1), wsg_b * tq, Wb), jnp.float32),
+                 pltpu.VMEM((max(nb, 1), wsg_b * tq, Wb), jnp.float32)]
+                if wsg_b > 1 else []
+            ),
         )
         outs = pl.pallas_call(
             kernel,
