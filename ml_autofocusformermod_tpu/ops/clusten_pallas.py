@@ -2108,9 +2108,12 @@ def _attention_bwd_impl(q, kv, ncc, pos, pe_kernel, pe_bias, blank_k,
         ))
     )
     if stacked_bwd:
-        # bwd keeps ~2x the fwd's live planes (softmax recompute + dp/dl
-        # + dkv parts); halve the fwd stacked budget accordingly
-        per_img = np_ * 2 * c * (2 + 4) + np_ * np_ * 4 * 8
+        # empirical charge: the measured Mosaic scoped footprint at
+        # (gb=8, np_=248, c=192, h=6) was 111 M (queue r4c-2 OOM), i.e.
+        # ~36 fp32 planes per image-row block — far above the naive
+        # geometry+flows count (concat sources/dest and head-loop
+        # pipelining overlap more than the liveness math suggests)
+        per_img = np_ * 2 * c * (2 + 4) + np_ * np_ * 4 * 36
         gb_s = _gb_for(b, per_img, 40 * 1024 * 1024, h=h, np_=np_)
         env = os.environ.get("MLAFF_STACK_GB")
         if env:
