@@ -118,8 +118,17 @@ def _dense_pad_tile(n: int, np_: int, planes: int = 8):
         key = (-(-n // t) * t, -t)
         if best is None or key < best[0]:
             best = (key, t)
-    if best is None:  # np_ so wide even 128 rows bust the budget
-        return -(-n // 128) * 128, 128
+    if best is None:
+        # np_ so wide even 128 rows bust the budget: very wide K
+        # (banded np_=4224 at the 48-plane backward charge) legitimately
+        # needs sub-128 tiles — the old hard 128 floor silently kept the
+        # tile (and the 113 M scoped footprint) regardless of the planes
+        # charge (queues r4b-1/r4d-1). Largest fitting tile >= 32 wins;
+        # tiles for every budget-fitting shape are unchanged.
+        for t in range(120, 31, -8):
+            if t * np_ * 4 * planes <= budget:
+                return -(-n // t) * t, t
+        return -(-n // 32) * 32, 32
     return best[0][0], best[1]
 
 
@@ -743,20 +752,23 @@ def _fwd_kernel(*refs, h: int, cs: int, n_valid: int, rel_width: int,
                     p = jnp.exp(lg - mx)
                     ps.append(p)
                     denom = denom + p.sum(axis=-1, keepdims=True)
-                base_tall = (pb / denom) * bv_ref[hi:hi + 1, :].astype(
-                    jnp.float32)
-                pns = [p / denom for p in ps]
+                # normalization folded into the narrow output (see the
+                # core loop): AV runs on the raw exp planes, one
+                # pinv multiply on (tq, c_) per image
+                base_tall = pb * bv_ref[hi:hi + 1, :].astype(jnp.float32)
+                pinv = 1.0 / denom
                 for o in range(wsg):
                     acc = base_tall[o * tq:(o + 1) * tq, :]
-                    for j, pn in enumerate(pns):
+                    for j, p in enumerate(ps):
                         v = get_kv(j, b0 + o, (2 * hi + 1) * c_,
                                    (2 * hi + 2) * c_)
                         acc = acc + jax.lax.dot_general(
-                            pn[o * tq:(o + 1) * tq, :].astype(v.dtype),
+                            p[o * tq:(o + 1) * tq, :].astype(v.dtype),
                             v, (((1,), (0,)), ((), ())),
                             preferred_element_type=jnp.float32,
                             precision=prec,
                         )
+                    acc = acc * pinv[o * tq:(o + 1) * tq, :]
                     out_ref[b0 + o, :, hi * c_:(hi + 1) * c_] = (
                         acc.astype(out_ref.dtype)
                     )
@@ -805,7 +817,6 @@ def _fwd_kernel(*refs, h: int, cs: int, n_valid: int, rel_width: int,
                     p = jnp.where(geos[j][4], p, 0.0)
                 ps.append(p)
                 denom = denom + p.sum(axis=-1, keepdims=True)
-            pb = pb_num / denom
 
             if seed_ref is not None:
                 # attention-prob dropout after the softmax (reference
@@ -813,20 +824,24 @@ def _fwd_kernel(*refs, h: int, cs: int, n_valid: int, rel_width: int,
                 seed0 = seed_ref[0]
                 img = pl.program_id(0) * gb + bi
                 row0 = pl.program_id(1) * tq
-                pb = pb * _drop_keep(
+                pb_num = pb_num * _drop_keep(
                     seed0, img, hi, row0, 65535, tq, 1, drop_rate)
-            out = pb * bv_ref[hi:hi + 1, :].astype(jnp.float32)
+            # normalization folded into the NARROW (tq, c_) output
+            # instead of each wide probability plane: saves one full
+            # (tq, W) read+write per head — the r4d probes show these
+            # stages are VMEM plane-traffic bound
+            out = pb_num * bv_ref[hi:hi + 1, :].astype(jnp.float32)
             for j, p in enumerate(ps):
                 v = get_kv(j, bi, (2 * hi + 1) * c_, (2 * hi + 2) * c_)
-                pn = p / denom
                 if seed_ref is not None:
-                    pn = pn * _drop_keep(
+                    p = p * _drop_keep(
                         seed0, img, hi, row0, col0(j, bi), tq, wb,
                         drop_rate)
                 out = out + jax.lax.dot_general(
-                    pn.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+                    p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32, precision=prec,
                 )
+            out = out * (1.0 / denom)
             out_ref[bi, :, hi * c_:(hi + 1) * c_] = out.astype(out_ref.dtype)
 
 
@@ -934,14 +949,17 @@ def _fwd_kernel_stacked(q_ref, kv_ref, posq_ref, posk_ref, ncc_ref,
     def softmax_head(lg_raw, blank, hi):
         lg = lg_raw + head_bias(hi)  # (G, np_)
         if "nosm" in probe:
-            return lg * 1e-3, blank * 1e-3
+            return lg * 1e-3, blank * 1e-3, blank * 0.0 + 1.0
         mx = jnp.maximum(blank, lg.max(axis=-1, keepdims=True))
         p = jnp.exp(lg - mx)
         pb = jnp.exp(blank - mx)
         denom = pb + p.sum(axis=-1, keepdims=True)
-        return p / denom, pb / denom
+        # raw exp planes + pinv: normalization folds into the narrow
+        # (G, c_) output in av_head (one full-plane pass saved per head
+        # — these stages are VMEM plane-traffic bound, r4d probes)
+        return p, pb, 1.0 / denom
 
-    def av_head(pn, pbn, hi):
+    def av_head(pn, pbn, pinv, hi):
         if "nomm" in probe:
             out_ref[:, hi * c_:(hi + 1) * c_] = (
                 pn[:, :c_] + pbn
@@ -956,14 +974,14 @@ def _fwd_kernel_stacked(q_ref, kv_ref, posq_ref, posk_ref, ncc_ref,
                 preferred_element_type=jnp.float32, precision=prec,
             ))
         o = jnp.concatenate(outs, axis=0)
-        o = o + pbn * bv_ref[hi:hi + 1, :].astype(jnp.float32)
+        o = (o + pbn * bv_ref[hi:hi + 1, :].astype(jnp.float32)) * pinv
         out_ref[:, hi * c_:(hi + 1) * c_] = o.astype(out_ref.dtype)
 
     if not split:
         for hi in range(h):
             lg_raw, blank = qk_head(hi)
-            pn, pbn = softmax_head(lg_raw, blank, hi)
-            av_head(pn, pbn, hi)
+            pn, pbn, pinv = softmax_head(lg_raw, blank, hi)
+            av_head(pn, pbn, pinv, hi)
         return
 
     # phase-split (MLAFF_SSPLIT): the interleaved per-head loop serializes
@@ -979,8 +997,8 @@ def _fwd_kernel_stacked(q_ref, kv_ref, posq_ref, posk_ref, ncc_ref,
         softmax_head(lg_raw, blank, hi)
         for hi, (lg_raw, blank) in enumerate(lgs_all)
     ]
-    for hi, (pn, pbn) in enumerate(pns_all):
-        av_head(pn, pbn, hi)
+    for hi, (pn, pbn, pinv) in enumerate(pns_all):
+        av_head(pn, pbn, pinv, hi)
 
 
 def _bwd_kernel_stacked(q_ref, kv_ref, posq_ref, posk_ref, ncc_ref,
