@@ -1093,26 +1093,29 @@ def _bwd_kernel_stacked(q_ref, kv_ref, posq_ref, posk_ref, ncc_ref,
         p = jnp.exp(lg - mx)
         pb = jnp.exp(blank - mx)
         pinv = 1.0 / (pb + p.sum(axis=-1, keepdims=True))
-        p = p * pinv
-        pb = pb * pinv
+        # normalization folded into narrow row-scalings (see the core
+        # bwd loop): p/pb stay raw, go' = pinv * go carries the scale
+        go_s32 = go32 * pinv  # (G, c_)
+        go_s = go_s32.astype(md)
 
         # --- softmax jacobian over the tall plane ---
         dpb = jax.lax.dot_general(
-            go32, bv_ref[hi:hi + 1, :], (((1,), (1,)), ((), ())),
+            go_s32, bv_ref[hi:hi + 1, :], (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32, precision=prec,
-        )  # (G, 1)
+        )  # (G, 1) — pinv-scaled
         dps = []
         for bi in range(gb):
             v = kv_ref[bi, :, (2 * hi + 1) * c_:(2 * hi + 2) * c_]
             dps.append(jax.lax.dot_general(
-                goh[bi * np_:(bi + 1) * np_, :], v,
+                go_s[bi * np_:(bi + 1) * np_, :], v,
                 (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32, precision=prec,
             ))
-        dp = jnp.concatenate(dps, axis=0)  # (G, np_)
+        dp = jnp.concatenate(dps, axis=0)  # (G, np_) — pinv-scaled
         s = dpb * pb + (dp * p).sum(axis=-1, keepdims=True)
-        dl = p * (dp - s)  # (G, np_); 0 at non-member slots (p there is 0)
-        dlb = pb * (dpb - s)  # (G, 1)
+        us = s * pinv
+        dl = p * (dp - us)  # (G, np_); 0 at non-member slots (p there 0)
+        dlb = pb * (dpb - us)  # (G, 1)
         dlm = dl.astype(md)
 
         # --- dq / dkv: per-image matmuls on the row blocks ---
@@ -1129,9 +1132,9 @@ def _bwd_kernel_stacked(q_ref, kv_ref, posq_ref, posk_ref, ncc_ref,
                 preferred_element_type=jnp.float32, precision=prec,
             )  # (np_, c_)
             dvw = jax.lax.dot_general(
-                p[sl, :].astype(md), goh[sl, :], (((0,), (0,)), ((), ())),
+                p[sl, :].astype(md), go_s[sl, :], (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32, precision=prec,
-            )
+            )  # go_s carries the pinv row scale
             dkv_parts[bi][2 * hi] = dkw
             dkv_parts[bi][2 * hi + 1] = dvw
         dq = jnp.concatenate(dqs, axis=0) + dlb * bk_ref[:, hi].astype(
@@ -1154,7 +1157,7 @@ def _bwd_kernel_stacked(q_ref, kv_ref, posq_ref, posk_ref, ncc_ref,
             preferred_element_type=jnp.float32, precision=prec,
         ))  # (c_, 1)
         dbvs.append(jax.lax.dot_general(
-            go32, pb, (((0,), (0,)), ((), ())),
+            go_s32, pb, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32, precision=prec,
         ))
 
@@ -1700,16 +1703,6 @@ def _bwd_kernel(*refs, h: int, cs: int, n_valid: int, rel_width: int,
                         scratch_lg[j, o * tq:(o + 1) * tq, :] = (
                             lg + biases[hi][j]
                         )
-                        scratch_dp[j, o * tq:(o + 1) * tq, :] = (
-                            jax.lax.dot_general(
-                                go_tall[o * tq:(o + 1) * tq, :],
-                                get_kv(j, b0 + o, (2 * hi + 1) * c_,
-                                       (2 * hi + 2) * c_),
-                                (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32,
-                                precision=prec,
-                            )
-                        )
                 blank = jax.lax.dot_general(
                     q_tall, bk_ref[:, hi:hi + 1], (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32, precision=prec,
@@ -1726,18 +1719,35 @@ def _bwd_kernel(*refs, h: int, cs: int, n_valid: int, rel_width: int,
                     ps.append(p)
                     denom = denom + p.sum(axis=-1, keepdims=True)
                 pinv = 1.0 / denom
-                ps = [p * pinv for p in ps]
-                pb = pb * pinv
+                # normalization folded into narrow row-scalings (see
+                # the core bwd loop): p/pb stay raw; the dp matmuls run
+                # AFTER the recompute so they can consume go' = pinv*go
+                go_s32_tall = go32_tall * pinv
+                go_s_tall = go_s32_tall.astype(md)
+                for j in range(nbands):
+                    for o in range(wsg):
+                        scratch_dp[j, o * tq:(o + 1) * tq, :] = (
+                            jax.lax.dot_general(
+                                go_s_tall[o * tq:(o + 1) * tq, :],
+                                get_kv(j, b0 + o, (2 * hi + 1) * c_,
+                                       (2 * hi + 2) * c_),
+                                (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32,
+                                precision=prec,
+                            )
+                        )
                 dpb = jax.lax.dot_general(
-                    go32_tall, bv_ref[hi:hi + 1, :], (((1,), (1,)), ((), ())),
+                    go_s32_tall, bv_ref[hi:hi + 1, :],
+                    (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32, precision=prec,
-                )  # (wsg*tq, 1)
+                )  # (wsg*tq, 1) — pinv-scaled
                 dps = [scratch_dp[j] for j in range(nbands)]
                 s = dpb * pb
                 for p, dp in zip(ps, dps):
                     s = s + (dp * p).sum(axis=-1, keepdims=True)
-                dlb = pb * (dpb - s)
-                dls = [p * (dp - s) for p, dp in zip(ps, dps)]
+                us = s * pinv
+                dlb = pb * (dpb - us)
+                dls = [p * (dp - us) for p, dp in zip(ps, dps)]
 
                 for o in range(wsg):
                     osl = slice(o * tq, (o + 1) * tq)
@@ -1758,11 +1768,11 @@ def _bwd_kernel(*refs, h: int, cs: int, n_valid: int, rel_width: int,
                             precision=prec,
                         )
                         dvw = jax.lax.dot_general(
-                            ps[j][osl].astype(md), go_tall[osl],
+                            ps[j][osl].astype(md), go_s_tall[osl],
                             (((0,), (0,)), ((), ())),
                             preferred_element_type=jnp.float32,
                             precision=prec,
-                        )
+                        )  # go_s carries the pinv row scale
                         k0 = 2 * hi * c_
                         v0 = (2 * hi + 1) * c_
                         c0b = col0(j, b0 + o)
@@ -1801,7 +1811,7 @@ def _bwd_kernel(*refs, h: int, cs: int, n_valid: int, rel_width: int,
                     preferred_element_type=jnp.float32, precision=prec,
                 )
                 dbv = jax.lax.dot_general(
-                    go32_tall, pb, (((0,), (0,)), ((), ())),
+                    go_s32_tall, pb, (((0,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32, precision=prec,
                 )
                 dblank_ref[0, 0:c_, hi:hi + 1] = (
@@ -1858,8 +1868,14 @@ def _bwd_kernel(*refs, h: int, cs: int, n_valid: int, rel_width: int,
                 ps.append(p)
                 denom = denom + p.sum(axis=-1, keepdims=True)
             pinv = 1.0 / denom
-            ps = [p * pinv for p in ps]
-            pb = pb_num * pinv
+            # Normalization folded into NARROW row-scalings (mirror of
+            # the forward's pinv move; these kernels are VMEM
+            # plane-traffic bound, r4d probes): probabilities stay raw
+            # exp planes. With go' = pinv * go, every dp'/dpb' carries
+            # exactly one pinv, so the s-reduction over the RAW planes
+            # equals the true s, and dl = p_num * (dp' - pinv*s).
+            go_s32 = go32 * pinv  # (tq, c_)
+            go_s = go_s32.astype(md)
 
             # --- softmax backward across bands ---
             # With attention dropout (out = sum_j p_j mask_j v_j):
@@ -1879,28 +1895,29 @@ def _bwd_kernel(*refs, h: int, cs: int, n_valid: int, rel_width: int,
                 bmask = _drop_keep(seed0, img, hi, row0, 65535, tq, 1,
                                    drop_rate)
             dpb = jax.lax.dot_general(
-                go32, bv_ref[hi:hi + 1, :], (((1,), (1,)), ((), ())),
+                go_s32, bv_ref[hi:hi + 1, :], (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32, precision=prec,
-            )  # (tq, 1)
+            )  # (tq, 1) — pinv-scaled
             if dmasks is not None:
                 dpb = dpb * bmask
             dps = []
-            s = dpb * pb
+            s = dpb * pb_num
             for j, p in enumerate(ps):
                 v = get_kv(j, bi, (2 * hi + 1) * c_, (2 * hi + 2) * c_)
                 dp = jax.lax.dot_general(
-                    go, v, (((1,), (1,)), ((), ())),
+                    go_s, v, (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32, precision=prec,
-                )  # (tq, Wb)
+                )  # (tq, Wb) — pinv-scaled
                 if dmasks is not None:
                     dp = dp * dmasks[j]
                 dps.append(dp)
                 s = s + (dp * p).sum(axis=-1, keepdims=True)
-            dlb = pb * (dpb - s)  # (tq, 1)
+            us = s * pinv  # (tq, 1)
+            dlb = pb_num * (dpb - us)  # (tq, 1)
 
             dq = dlb * bk_ref[:, hi].astype(jnp.float32)[None, :]
             for j, (p, dp) in enumerate(zip(ps, dps)):
-                dl = p * (dp - s)  # (tq, Wb) fp32; 0 at non-member slots
+                dl = p * (dp - us)  # (tq, Wb) fp32; 0 at non-members
                 dlm = dl.astype(md)
                 k = get_kv(j, bi, 2 * hi * c_, (2 * hi + 1) * c_)
                 dq = dq + jax.lax.dot_general(
@@ -1914,9 +1931,9 @@ def _bwd_kernel(*refs, h: int, cs: int, n_valid: int, rel_width: int,
                 )  # (Wb, c_)
                 pa = p if dmasks is None else p * dmasks[j]
                 dvw = jax.lax.dot_general(
-                    pa.astype(md), go, (((0,), (0,)), ((), ())),
+                    pa.astype(md), go_s, (((0,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32, precision=prec,
-                )  # (Wb, c_)
+                )  # (Wb, c_) — go_s carries the pinv row scale
                 k0 = 2 * hi * c_
                 v0 = (2 * hi + 1) * c_
                 if cu:
@@ -1959,9 +1976,9 @@ def _bwd_kernel(*refs, h: int, cs: int, n_valid: int, rel_width: int,
                 q.astype(jnp.float32), dlb, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32, precision=prec,
             )  # (c_, 1)
-            pbd = pb if dmasks is None else pb * bmask
+            pbd = pb_num if dmasks is None else pb_num * bmask
             dbv = jax.lax.dot_general(
-                go32, pbd, (((0,), (0,)), ((), ())),
+                go_s32, pbd, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32, precision=prec,
             )  # (c_, 1) — d_blank_v[hi] = sum_t pb_dropped[t] * g_out[t]
             dblank_ref[0, 0:c_, hi:hi + 1] = (
