@@ -2049,10 +2049,11 @@ def _attention_bwd_impl(q, kv, ncc, pos, pe_kernel, pe_bias, blank_k,
         # budget — the bwd keeps ~5 tall band planes live (2 scratches
         # + the p/dp/dl value planes)
         if static_ncc is not None and drop is None:
-            # OPT-IN until the r4f chip parity/A-B (the windowed bwd has
-            # no interpreter coverage): MLAFF_WSTACK_BWD=1 requests the
-            # fwd's shape-aware default group, =N forces N
-            env_wsg = os.environ.get("MLAFF_WSTACK_BWD", "0")
+            # DEFAULT ON since the r4f chip parity + A/B (2026-08-21):
+            # mini train 994.5 -> 1034.5 img/s, stage-1 grad parity
+            # inside the envelope. MLAFF_WSTACK_BWD=0 restores the
+            # per-image chains; =N forces group N.
+            env_wsg = os.environ.get("MLAFF_WSTACK_BWD", "1")
             req = int(env_wsg)
             if req == 1:
                 req = 8 if c <= 64 else 2
@@ -2135,11 +2136,14 @@ def _attention_bwd_impl(q, kv, ncc, pos, pe_kernel, pe_bias, blank_k,
         os.environ.get("MLAFF_STACK_BWD", "1") == "1"
         and os.environ.get("MLAFF_STACK", "1") == "1"
         and window is None and static_ncc is None and drop is None
-        # separate bwd bound: the fwd lost at stage-2 widths (np_=784,
-        # -0.8% mini) but the bwd's chain fraction is larger — A/B'able
+        # separate bwd bound, default 800: unlike the fwd (which LOST at
+        # stage-2 widths, -0.8% mini), stacking the stage-2 BACKWARD wins
+        # (r4f-4 chip A/B: mini train 1034.5 -> 1060.1 img/s on top of
+        # the wsg-bwd flip; the empirical 36-plane charge drops gb to 1
+        # there, which is still faster than the per-(image, head) chains)
         and np_ <= int(os.environ.get(
             "MLAFF_STACK_BWD_NMAX",
-            os.environ.get("MLAFF_STACK_NMAX", "256"),
+            os.environ.get("MLAFF_STACK_NMAX", "800"),
         ))
     )
     if stacked_bwd:
