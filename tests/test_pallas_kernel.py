@@ -243,13 +243,15 @@ def test_dense_kbands_matches_xla(monkeypatch):
         )
 
 
-@pytest.mark.parametrize("n", [128, 196])
+@pytest.mark.parametrize("n", [128, 196, 617])
 def test_stacked_backward_matches_xla(monkeypatch, n):
     """Row-stacked BACKWARD kernel (_bwd_kernel_stacked, small-token
     stages) vs the XLA oracle: all six input/param grads. n=196 covers
-    the padded-rows case (np_=200). Forced under the interpreter —
-    without MLAFF_PALLAS_BWD_INTERPRET the oracle bwd would run and the
-    kernel would have zero CPU coverage."""
+    the padded-rows case (np_=200); n=617 (np_=624) covers the stage-2
+    width class that the MLAFF_STACK_BWD_NMAX=800 default now routes
+    here. Forced under the interpreter — without
+    MLAFF_PALLAS_BWD_INTERPRET the oracle bwd would run and the kernel
+    would have zero CPU coverage."""
     monkeypatch.setenv("MLAFF_PALLAS_BWD_INTERPRET", "1")
     monkeypatch.setenv("MLAFF_STACK_BWD", "1")
     q, k, v, ncc, pos, w5, bh, bk, bv = make_inputs(n, seed=21)
