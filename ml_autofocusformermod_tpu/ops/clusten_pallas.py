@@ -1268,7 +1268,11 @@ def _attention_fwd_impl(q, kv, ncc, pos, pe_kernel, pe_bias, blank_k,
     stacked = (
         os.environ.get("MLAFF_STACK", "1") == "1"
         and window is None and static_ncc is None and drop is None
-        and np_ <= int(os.environ.get("MLAFF_STACK_NMAX", "256"))
+        # bound raised 256 -> 800 after the r4 pinv folding flipped the
+        # stage-2 result (r4h-7/r4i-9 chip A/Bs: mini fwd 3187.4 ->
+        # 3231.4, Small 1148.0 -> 1171.3; the r2 -0.8%/OOM negative was
+        # pre-pinv and pre-gb-charge — the group now snaps to 1 there)
+        and np_ <= int(os.environ.get("MLAFF_STACK_NMAX", "800"))
     )
     # DEFAULT ON since the r3f chip A/B (2026-08-21): mini fwd 2820.4 vs
     # 2800.6 (+0.7%), Small 1048.6 vs 1046.4 — the phase-split lets the
