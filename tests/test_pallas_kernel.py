@@ -127,10 +127,12 @@ def test_fused_gradients_match_xla():
         )
 
 
-@pytest.mark.parametrize("n", [128, 196])
+@pytest.mark.parametrize("n", [128, 196, 617])
 def test_stacked_forward_matches_xla(monkeypatch, n):
     """Stacked dense path (MLAFF_STACK=1, small-token stages): image group
-    folded into rows — vs the XLA oracle. n=196 covers row padding."""
+    folded into rows — vs the XLA oracle. n=196 covers row padding;
+    n=617 (np_=624) covers the stage-2 width class the raised
+    MLAFF_STACK_NMAX=800 default now routes here."""
     monkeypatch.setenv("MLAFF_STACK", "1")
     q, k, v, ncc, pos, w5, bh, bk, bv = make_inputs(n, seed=3)
     with jax.default_matmul_precision("highest"):
