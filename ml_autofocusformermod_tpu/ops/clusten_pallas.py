@@ -1268,6 +1268,11 @@ def _attention_fwd_impl(q, kv, ncc, pos, pe_kernel, pe_bias, blank_k,
     stacked = (
         os.environ.get("MLAFF_STACK", "1") == "1"
         and window is None and static_ncc is None and drop is None
+        # the stacked kernel has no K-band planes: a banded shape whose
+        # padded np_ lands under the stack bound (possible with a
+        # shrunken MLAFF_KBAND; disjoint under the defaults since
+        # banding needs np_ > 2048) must stay on the banded plain path
+        and nb == 0
         # bound raised 256 -> 800 after the r4 pinv folding flipped the
         # stage-2 result (r4h-7/r4i-9 chip A/Bs: mini fwd 3187.4 ->
         # 3231.4, Small 1148.0 -> 1171.3; the r2 -0.8%/OOM negative was
@@ -2140,6 +2145,8 @@ def _attention_bwd_impl(q, kv, ncc, pos, pe_kernel, pe_bias, blank_k,
         os.environ.get("MLAFF_STACK_BWD", "1") == "1"
         and os.environ.get("MLAFF_STACK", "1") == "1"
         and window is None and static_ncc is None and drop is None
+        # no K-band support in the stacked bwd either (see the fwd gate)
+        and nb == 0
         # separate bwd bound, default 800: unlike the fwd (which LOST at
         # stage-2 widths, -0.8% mini), stacking the stage-2 BACKWARD wins
         # (r4f-4 chip A/B: mini train 1034.5 -> 1060.1 img/s on top of
