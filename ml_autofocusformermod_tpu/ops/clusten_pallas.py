@@ -46,7 +46,7 @@ from __future__ import annotations
 import functools
 import logging
 import os
-from typing import Optional, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -224,6 +224,97 @@ def _choose_tiling(n: int, np_: int, cs: int, static_ncc) -> Tuple[int, Optional
         if best is not None:
             return best[1], best[2]
     return _pick_tile(n, np_), None
+
+
+class _Route(NamedTuple):
+    """Single source of truth for the kernel dispatch (fwd AND bwd).
+
+    One routing bug class shipped in round 4: the stacked-dispatch bound
+    was raised in the forward gate while the K-band exclusion lived as a
+    hand-duplicated copy in each impl, and the copies diverged (commit
+    9432a70 — K-banded shapes reached the band-less stacked kernel and
+    produced NaN rows). Every *path-selection* predicate now lives in
+    ``_route`` below; ``_attention_fwd_impl`` / ``_attention_bwd_impl``
+    consume the decision and only compute direction-local budgets
+    (image-group sizes, scratch clamps) for the selected path.
+
+    ``nb`` / ``wb`` / ``np_`` are the DENSE-path plane geometry (K-band
+    split applied); when ``window`` is not None the branches unpack the
+    authoritative values from the window tuple itself.
+    """
+
+    tq: int                  # query tile rows
+    window: Optional[tuple]  # _choose_tiling result (None = dense path)
+    compact: bool            # window is the compact-union layout
+    nb: int                  # dense path: K-band count (0 = single plane)
+    wb: int                  # dense path: band width (lanes)
+    np_: int                 # dense path: padded K rows (grown by banding)
+    stacked: bool            # row-stacked dense kernel for small-n stages
+    twin: bool               # traced-window path eligible (static part)
+    wsg_ok: bool             # windowed row-stacking eligible
+
+
+def _route(n: int, np_: int, cs: int, static_ncc, drop, *,
+           bwd: bool) -> _Route:
+    """Decide the dispatch path for one attention shape.
+
+    ``bwd`` only changes (a) which stacking knobs are consulted
+    (``MLAFF_STACK_BWD[_NMAX]`` fall back to the forward's values) and
+    (b) the dense/banded tile re-pick budgets — the backward keeps more
+    fp32 planes live per query row (softmax recompute + the dq/dkv/dpe
+    flows), so its tile is charged at planes=16 (dense) / 48 (banded)
+    instead of the forward's 8. Path *selection* is identical in both
+    directions by construction.
+    """
+    tq, window = _choose_tiling(n, np_, cs, static_ncc)
+    compact = window is not None and window[0] == "compact"
+    nb, wb = 0, np_
+    if window is None:
+        band = _kband_split(np_)
+        if band is not None:
+            nb, wb, np_ = band
+            if bwd:
+                # banded bwd keeps EVERY band's geometry live through the
+                # dpe accumulation (see the charge history in the bwd impl)
+                tq = _pick_tile(n, np_, planes=48)
+        elif bwd:
+            tq = _pick_tile(n, np_, planes=16)
+
+    # Stacked dense path for the small-token stages: image group folded
+    # into rows, one VPU chain per head instead of per (image, head).
+    # The stacked kernels carry no K-band planes, so any banded shape
+    # (possible with a shrunken MLAFF_KBAND) must stay on the banded
+    # plain path — THE single copy of the r4 NaN-regression exclusion.
+    stacked = (
+        os.environ.get("MLAFF_STACK", "1") == "1"
+        and window is None and static_ncc is None and drop is None
+        and nb == 0
+    )
+    if stacked:
+        if bwd:
+            stacked = (
+                os.environ.get("MLAFF_STACK_BWD", "1") == "1"
+                and np_ <= int(os.environ.get(
+                    "MLAFF_STACK_BWD_NMAX",
+                    os.environ.get("MLAFF_STACK_NMAX", "800"),
+                ))
+            )
+        else:
+            stacked = np_ <= int(os.environ.get("MLAFF_STACK_NMAX", "800"))
+
+    # Traced-window path for large data-dependent stages. The backward
+    # historically omitted the ``drop is None`` guard (the twin bwd was
+    # never validated under dropout); unified here to the forward's gate.
+    twin = (
+        os.environ.get("MLAFF_TWIN", "0") == "1"
+        and window is None and nb == 0 and drop is None
+        and not stacked and static_ncc is None and np_ > 256
+    )
+
+    # Row-stacking on the windowed (host-constant geometry) path.
+    wsg_ok = (window is not None and not compact
+              and static_ncc is not None and drop is None)
+    return _Route(tq, window, compact, nb, wb, np_, stacked, twin, wsg_ok)
 
 
 def _static_window(static_ncc, n, tq, cs, np_):
@@ -1218,11 +1309,11 @@ def _attention_fwd_impl(q, kv, ncc, pos, pe_kernel, pe_bias, blank_k,
     kk = -(-n // cs)
     np_ = kk * cs
     pos_q = pos  # query positions stay unpadded (match q/ncc row count)
-    tq, window = _choose_tiling(n, np_, cs, static_ncc)
+    route = _route(n, np_, cs, static_ncc, drop, bwd=False)
+    tq, window, compact = route.tq, route.window, route.compact
     clamp_hi = clamp_width - 1 if clamp_width else None
     hiprec = q.dtype == jnp.float32
 
-    compact = window is not None and window[0] == "compact"
     if compact:
         _, cu, cbs, np_, starts_np, clc_np, posc_np = window
         ucs = cu * cbs
@@ -1246,39 +1337,22 @@ def _attention_fwd_impl(q, kv, ncc, pos, pe_kernel, pe_bias, blank_k,
         gb = _gb_for(b, np_ * (2 * c * kv.dtype.itemsize + 2 * 4),
                      budget_mb * 1024 * 1024, h=h)
     else:
-        band = _kband_split(np_)
-        if band is not None:
-            # static K-bands: >2048-lane dense stages split each compute
-            # plane into nb (tq, Wb) bands (see _kband_split); np_ grows
-            # to the banded padding and padded cols mask via n_valid
-            nb, Wb, np_ = band
-        else:
-            nb = 0
-            Wb = np_
+        # static K-bands (route.nb > 0): >2048-lane dense stages split
+        # each compute plane into nb (tq, Wb) bands (see _kband_split);
+        # np_ grows to the banded padding and padded cols mask via n_valid
+        nb, Wb, np_ = route.nb, route.wb, route.np_
         # dense K/V per image; batching amortizes per-instance overhead
         # (the small-n stages are otherwise launch-bound)
         gb = _gb_for(b, np_ * 2 * c * 2, 8 * 1024 * 1024, h=h, np_=np_)
 
     # stacked dense path for the small-token stages (see
-    # _fwd_kernel_stacked): image group folded into rows, one VPU chain
-    # per head instead of per (image, head). DEFAULT ON since the chip
-    # A/B (R2N-C1/C4, 2026-08-19): mini fwd 2556 vs 2475, Small 1019 vs
-    # 961 img/s; stacked-vs-plain parity is exactly 0.0 on chip
-    # (scripts/parity_stack.py). MLAFF_STACK=0 restores the plain path.
-    stacked = (
-        os.environ.get("MLAFF_STACK", "1") == "1"
-        and window is None and static_ncc is None and drop is None
-        # the stacked kernel has no K-band planes: a banded shape whose
-        # padded np_ lands under the stack bound (possible with a
-        # shrunken MLAFF_KBAND; disjoint under the defaults since
-        # banding needs np_ > 2048) must stay on the banded plain path
-        and nb == 0
-        # bound raised 256 -> 800 after the r4 pinv folding flipped the
-        # stage-2 result (r4h-7/r4i-9 chip A/Bs: mini fwd 3187.4 ->
-        # 3231.4, Small 1148.0 -> 1171.3; the r2 -0.8%/OOM negative was
-        # pre-pinv and pre-gb-charge — the group now snaps to 1 there)
-        and np_ <= int(os.environ.get("MLAFF_STACK_NMAX", "800"))
-    )
+    # _fwd_kernel_stacked and the gate in _route). DEFAULT ON since the
+    # chip A/B (R2N-C1/C4, 2026-08-19): mini fwd 2556 vs 2475, Small
+    # 1019 vs 961 img/s; stacked-vs-plain parity is exactly 0.0 on chip
+    # (scripts/parity_stack.py). MLAFF_STACK=0 restores the plain path;
+    # MLAFF_STACK_NMAX raised 256 -> 800 after the r4 pinv folding
+    # flipped the stage-2 result (r4h-7/r4i-9: mini 3187.4 -> 3231.4).
+    stacked = route.stacked
     # DEFAULT ON since the r3f chip A/B (2026-08-21): mini fwd 2820.4 vs
     # 2800.6 (+0.7%), Small 1048.6 vs 1046.4 — the phase-split lets the
     # MXU stream the per-(image, head) matmuls. MLAFF_SSPLIT=0 restores
@@ -1304,10 +1378,7 @@ def _attention_fwd_impl(q, kv, ncc, pos, pe_kernel, pe_bias, blank_k,
     # _traced_window): per-(image, tile) K/V bands from the traced ncc,
     # lax.cond fallback to the dense path when any span overflows
     twin = None
-    if (os.environ.get("MLAFF_TWIN", "0") == "1" and window is None
-            and nb == 0  # static K-bands already handle the wide class
-            and drop is None
-            and not stacked and static_ncc is None and np_ > 256):
+    if route.twin:
         ttq = _twin_tile(n)
         if ttq is not None:
             wt, offs128, ok = _traced_window(ncc, n, np_, cs, ttq)
@@ -1325,8 +1396,7 @@ def _attention_fwd_impl(q, kv, ncc, pos, pe_kernel, pe_bias, blank_k,
     # MLAFF_WSTACK overrides for experiments (MLAFF_WSTACK=1 restores the
     # per-image chain).
     wsg = 1
-    if (window is not None and not compact and static_ncc is not None
-            and drop is None):
+    if route.wsg_ok:
         env_wsg = os.environ.get("MLAFF_WSTACK")
         req = max(1, int(env_wsg)) if env_wsg else (8 if c <= 64 else 2)
         wsg = req
@@ -2021,21 +2091,16 @@ def _attention_bwd_impl(q, kv, ncc, pos, pe_kernel, pe_bias, blank_k,
     np_ = kk * cs
     c_ = c // h
     pos_q = pos
-    tq, window = _choose_tiling(n, np_, cs, static_ncc)
+    # Path selection is shared with the forward via _route (window/compact
+    # paths must keep the forward's tile so window offsets line up); only
+    # the dense/banded tile budgets differ (see _route's bwd re-pick —
+    # curriculum UD at ratio 1.0, n=4161: the fwd-sized tile put the bwd
+    # body 20 MB over the 100 MB scoped-VMEM limit, queue r3f-6).
+    route = _route(n, np_, cs, static_ncc, drop, bwd=True)
+    tq, window, compact = route.tq, route.window, route.compact
     clamp_hi = clamp_width - 1 if clamp_width else None
     hiprec = q.dtype == jnp.float32
 
-    if window is None:
-        # The dense backward keeps ~2x the forward's live planes per
-        # (image, head) — softmax recompute PLUS dq/dkv/dbias flows — so
-        # re-pick its tile with a doubled plane budget (curriculum UD at
-        # ratio 1.0, n=4161: the fwd-sized tile put the bwd body 20 MB
-        # over the 100 MB scoped-VMEM limit, queue r3f-6). Window/compact
-        # paths must keep the forward's tile so offsets line up; the
-        # dense grid has no such coupling.
-        tq = _pick_tile(n, np_, planes=16)
-
-    compact = window is not None and window[0] == "compact"
     if compact:
         _, cu, cbs, np_, starts_np, clc_np, posc_np = window
         ucs = cu * cbs
@@ -2057,7 +2122,7 @@ def _attention_bwd_impl(q, kv, ncc, pos, pe_kernel, pe_bias, blank_k,
         # requested group to a divisor of gb and to the scoped-VMEM
         # budget — the bwd keeps ~5 tall band planes live (2 scratches
         # + the p/dp/dl value planes)
-        if static_ncc is not None and drop is None:
+        if route.wsg_ok:
             # DEFAULT ON since the r4f chip parity + A/B (2026-08-21):
             # mini train 994.5 -> 1034.5 img/s, stage-1 grad parity
             # inside the envelope. MLAFF_WSTACK_BWD=0 restores the
@@ -2079,21 +2144,12 @@ def _attention_bwd_impl(q, kv, ncc, pos, pe_kernel, pe_bias, blank_k,
                 while wsg_b > 1 and gb % wsg_b:
                     wsg_b -= 1
     else:
-        band = _kband_split(np_)
-        if band is not None:
-            # static K-bands, mirroring the forward (see _kband_split).
-            # The banded backward keeps EVERY band's geometry planes live
-            # through the final dpe accumulation plus the p/dp flows, so
-            # charge a much larger per-row plane budget when re-picking
-            # the query tile (np_=4168 at the fwd-style charge compiled
-            # to a 162 MB scoped-VMEM program — over the 128 MB cap,
-            # queue r4a-1; planes=40 still left the fp32/hiprec variant
-            # 13 M over the 100 M limit, queue r4b-1 — 48 holds both).
-            nb, Wb, np_ = band
-            tq = _pick_tile(n, np_, planes=48)
-        else:
-            nb = 0
-            Wb = np_
+        # static K-bands (route.nb > 0), mirroring the forward; the
+        # banded-bwd 48-plane tile charge history lives in _route
+        # (np_=4168 fwd-style charge compiled to a 162 MB scoped-VMEM
+        # program — over the 128 MB cap, queue r4a-1; planes=40 still
+        # left the fp32 variant 13 M over, queue r4b-1 — 48 holds both).
+        nb, Wb, np_ = route.nb, route.wb, route.np_
         # cap 8: the unrolled gb*h backward body keeps more planes live
         # than the forward (measured: gb=16 exceeds VMEM at stage-3 shapes)
         gb = _gb_for(b, (np_ * 2 * c * 2) + (2 * np_ * c * 4),
@@ -2137,26 +2193,14 @@ def _attention_bwd_impl(q, kv, ncc, pos, pe_kernel, pe_bias, blank_k,
         vmem_limit_bytes=100 * 1024 * 1024
     )
 
-    # row-stacked backward for the small-token stages (mirror of the
-    # stacked forward's dispatch rule; see _bwd_kernel_stacked — the
-    # plain bwd at these shapes is per-(image, head) chain-issue bound:
-    # r4b train profile, stage-3 bwd 2.87 ms/block vs stacked fwd 0.67)
-    stacked_bwd = (
-        os.environ.get("MLAFF_STACK_BWD", "1") == "1"
-        and os.environ.get("MLAFF_STACK", "1") == "1"
-        and window is None and static_ncc is None and drop is None
-        # no K-band support in the stacked bwd either (see the fwd gate)
-        and nb == 0
-        # separate bwd bound, default 800: unlike the fwd (which LOST at
-        # stage-2 widths, -0.8% mini), stacking the stage-2 BACKWARD wins
-        # (r4f-4 chip A/B: mini train 1034.5 -> 1060.1 img/s on top of
-        # the wsg-bwd flip; the empirical 36-plane charge drops gb to 1
-        # there, which is still faster than the per-(image, head) chains)
-        and np_ <= int(os.environ.get(
-            "MLAFF_STACK_BWD_NMAX",
-            os.environ.get("MLAFF_STACK_NMAX", "800"),
-        ))
-    )
+    # row-stacked backward for the small-token stages (gate shared with
+    # the forward via _route; see _bwd_kernel_stacked — the plain bwd at
+    # these shapes is per-(image, head) chain-issue bound: r4b train
+    # profile, stage-3 bwd 2.87 ms/block vs stacked fwd 0.67. Separate
+    # bwd bound MLAFF_STACK_BWD_NMAX, default 800: unlike the fwd —
+    # which LOST at stage-2 widths pre-pinv — stacking the stage-2
+    # BACKWARD wins, r4f-4 chip A/B: mini train 1034.5 -> 1060.1 img/s)
+    stacked_bwd = route.stacked
     if stacked_bwd:
         # empirical charge: the measured Mosaic scoped footprint at
         # (gb=8, np_=248, c=192, h=6) was 111 M (queue r4c-2 OOM), i.e.
@@ -2359,15 +2403,15 @@ def _attention_bwd_impl(q, kv, ncc, pos, pe_kernel, pe_bias, blank_k,
         )(jnp.asarray(offs_np), q, kv_p, pos_q,
           pos_p.transpose(0, 2, 1), ncc, *tail_operands)
     else:
-        # traced-window backward (same dispatch rule as the forward; the
-        # offsets recompute deterministically from the saved ncc).
-        # Computed BEFORE the padding decision so padding can gate on
-        # whether the window actually materialized (with MLAFF_TWIN=1
-        # and unfactorable n, _twin_tile can find no divisor and return
-        # None — the dense body must then still get its padded grid).
+        # traced-window backward (dispatch rule shared with the forward
+        # via _route; the offsets recompute deterministically from the
+        # saved ncc). Computed BEFORE the padding decision so padding can
+        # gate on whether the window actually materialized (with
+        # MLAFF_TWIN=1 and unfactorable n, _twin_tile can find no divisor
+        # and return None — the dense body must then still get its padded
+        # grid).
         twin = None
-        if (os.environ.get("MLAFF_TWIN", "0") == "1"
-                and nb == 0 and static_ncc is None and np_ > 256):
+        if route.twin:
             ttq = _twin_tile(n)
             if ttq is not None:
                 wt, offs128, ok = _traced_window(ncc, n, np_, cs, ttq)
