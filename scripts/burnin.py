@@ -30,8 +30,15 @@ def main(batch: int, steps: int, preset: str) -> None:
     from ml_autofocusformermod_tpu.models.build import build_model
     from ml_autofocusformermod_tpu.train import trainer
 
+    # 'ot' runs the MaskFiner OracleTeacher cascade (VERDICT r4 #4: AFF
+    # and UD have burn-ins; OT needs the same training-signal evidence —
+    # reference trains it, maskfiner_oracle_teacher_model.py:123-145)
+    cfg_name = (
+        "maskfiner_oracle_teacher.yaml" if preset == "ot"
+        else f"aff_{preset}.yaml"
+    )
     cfg_path = os.path.join(
-        REPO, "ml_autofocusformermod_tpu", "configs", f"aff_{preset}.yaml"
+        REPO, "ml_autofocusformermod_tpu", "configs", cfg_name
     )
     config = load_config(cfg_path)
     config.defrost()
