@@ -120,6 +120,58 @@ def _sum_i_mat(ic, c, dtype):
     return (r % c == q).astype(dtype)
 
 
+# --- s-batched (v4) constant matrices -------------------------------------
+# The v3 bodies loop the cs=8 cluster slots and issue 24-to-32-lane-output
+# matmuls per slot (1/4-or-worse MXU utilization; the same narrowness that
+# killed v2). The v4 branch assembles every per-slot operand along the lane
+# axis once — blocks (s, i) of width c — and contracts with block-diagonal
+# one-hot matrices so each (image, j) iteration issues a few FULL-width
+# matmuls instead of 3*cs narrow ones. Gated by MLAFF_MERGE_SBATCH and a
+# lane-width cap (cs*ic*c beyond ~4k lanes enters the plane class that
+# faulted the dense attention kernel; those stages keep the v3 loop).
+
+
+def _sbatch_dw_mat(j, nnc, ic, c, cs, dtype):
+    """RB_j (cs*ic*c, cs*nnc*ic): [s,i,c'] -> column (s, j, i)."""
+    r = jax.lax.broadcasted_iota(jnp.int32, (cs * ic * c, cs * nnc * ic), 0)
+    q = jax.lax.broadcasted_iota(jnp.int32, (cs * ic * c, cs * nnc * ic), 1)
+    s_r, i_r = r // (ic * c), (r // c) % ic
+    s_q, rem = q // (nnc * ic), q % (nnc * ic)
+    return ((s_r == s_q) & (i_r == rem % ic)
+            & (rem // ic == j)).astype(dtype)
+
+
+def _sbatch_we_mat(j, nnc, ic, c, cs, dtype):
+    """EB_j (cs*nnc*ic, cs*ic*c): column (s, j, i) -> blocks (s, i, :)."""
+    r = jax.lax.broadcasted_iota(jnp.int32, (cs * nnc * ic, cs * ic * c), 0)
+    q = jax.lax.broadcasted_iota(jnp.int32, (cs * nnc * ic, cs * ic * c), 1)
+    s_r, rem = r // (nnc * ic), r % (nnc * ic)
+    s_q, i_q = q // (ic * c), (q // c) % ic
+    return ((s_r == s_q) & (rem % ic == i_q)
+            & (rem // ic == j)).astype(dtype)
+
+
+def _sbatch_sum_i_mat(ic, c, cs, dtype):
+    """RMB (cs*ic*c, cs*c): sums blocks over i, keeps (s, c')."""
+    r = jax.lax.broadcasted_iota(jnp.int32, (cs * ic * c, cs * c), 0)
+    q = jax.lax.broadcasted_iota(jnp.int32, (cs * ic * c, cs * c), 1)
+    return ((r // (ic * c) == q // c) & (r % c == q % c)).astype(dtype)
+
+
+def _sbatch_sum_i_mat(ic, c, cs, dtype):
+    """RMB (cs*ic*c, cs*c): sums blocks over i, keeps (s, c')."""
+    r = jax.lax.broadcasted_iota(jnp.int32, (cs * ic * c, cs * c), 0)
+    q = jax.lax.broadcasted_iota(jnp.int32, (cs * ic * c, cs * c), 1)
+    return ((r // (ic * c) == q // c) & (r % c == q % c)).astype(dtype)
+
+
+def _sbatch_on(cs, ic, c) -> bool:
+    if os.environ.get("MLAFF_MERGE_SBATCH", "0") != "1":
+        return False
+    cap = int(os.environ.get("MLAFF_MERGE_SBATCH_WMAX", "4096"))
+    return cs * ic * c <= cap
+
+
 def _merge_fwd_kernel(w_ref, feat_ref, ncc_ref, out_ref, *, cs: int,
                       ic: int, hiprec: bool):
     """v3 loop structure: ONE full-width (n', k) @ (k, cs*c) gather matmul
@@ -134,6 +186,7 @@ def _merge_fwd_kernel(w_ref, feat_ref, ncc_ref, out_ref, *, cs: int,
     c = csc // cs
     prec = jax.lax.Precision.HIGHEST if hiprec else None
     cdt = jnp.float32 if hiprec else jnp.bfloat16
+    sbatch = _sbatch_on(cs, ic, c)
     for bi in range(gb):
         ncc_all = ncc_ref[bi]  # (n', nnc)
         kiota = jax.lax.broadcasted_iota(jnp.int32, (n_, k), 1)
@@ -145,6 +198,28 @@ def _merge_fwd_kernel(w_ref, feat_ref, ncc_ref, out_ref, *, cs: int,
                 oh, feat2, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32, precision=prec,
             )  # (n', cs*c): the full gathered clusters ncc[:, j], f32
+            if sbatch:
+                # v4: ONE (n', cs*nnc*ic) @ EB_j broadcast + ONE
+                # lane-assembled f32 product + cs-1 block adds replace the
+                # cs-iteration loop of 24-lane matmuls; the s-sum stays
+                # f32 VPU adds so numerics match the v3 accumulate exactly
+                w_cat = jnp.concatenate(
+                    [w_ref[bi, s] for s in range(cs)], axis=1
+                )  # (n', cs*nnc*ic)
+                we_cat = jax.lax.dot_general(
+                    w_cat, _sbatch_we_mat(j, nnc, ic, c, cs, cdt),
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32, precision=prec,
+                )  # (n', cs*ic*c): blocks (s, i) = w[:, (j,s,i)]
+                g_cat = jnp.concatenate(
+                    [jnp.concatenate(
+                        [g[:, s * c:(s + 1) * c]] * ic, axis=1)
+                     for s in range(cs)], axis=1
+                )  # (n', cs*ic*c): blocks (s, i) = gs
+                prod = we_cat * g_cat  # f32
+                for s in range(cs):
+                    acc = acc + prod[:, s * ic * c:(s + 1) * ic * c]
+                return acc
             ej = _expand_mat(j, nnc, ic, c, cdt)
             for s in range(cs):  # static: lane slices at fixed offsets
                 gs = g[:, s * c:(s + 1) * c]
@@ -185,6 +260,8 @@ def _merge_bwd_kernel(w_ref, feat_ref, ncc_ref, g_ref, dw_ref, dfeat_ref,
     prec = jax.lax.Precision.HIGHEST if hiprec else None
     cdt = jnp.float32 if hiprec else jnp.bfloat16
     rm = _sum_i_mat(ic, c, cdt)
+    sbatch = _sbatch_on(cs, ic, c)
+    rmb = _sbatch_sum_i_mat(ic, c, cs, cdt) if sbatch else None
     for bi in range(gb):
         ncc_all = ncc_ref[bi]
         kiota = jax.lax.broadcasted_iota(jnp.int32, (n_, k), 1)
@@ -193,6 +270,56 @@ def _merge_bwd_kernel(w_ref, feat_ref, ncc_ref, g_ref, dw_ref, dfeat_ref,
         for s in range(cs):
             dw_ref[bi, s] = jnp.zeros(dw_ref.shape[2:], dw_ref.dtype)
         dfeat_ref[bi] = jnp.zeros(dfeat_ref.shape[1:], dfeat_ref.dtype)
+        if sbatch:
+            # blocks (s, i) = gall_i — image-invariant across j, hoisted
+            gall_cat = jnp.concatenate([gall] * cs, axis=1)
+            w_cat = jnp.concatenate(
+                [w_ref[bi, s] for s in range(cs)], axis=1
+            )  # (n', cs*nnc*ic)
+
+        def jbody_sbatch(j, _):
+            # v4: per (image, j) issue 4 full-width matmuls (gather,
+            # dw-reduce, we-broadcast, dfeat-scatter) + 1 lane product
+            # instead of the v3 cs-loop's 3*cs narrow (24/32-lane) ones
+            oh = (kiota == _nccj_column(ncc_all, j)).astype(cdt)
+            g = jax.lax.dot_general(
+                oh, feat2, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=prec,
+            )  # (n', cs*c)
+            g_cat = jnp.concatenate(
+                [jnp.concatenate(
+                    [g[:, s * c:(s + 1) * c]] * ic, axis=1)
+                 for s in range(cs)], axis=1
+            )  # (n', cs*ic*c): blocks (s, i) = gs
+            # d_w: products rounded to cdt pre-reduce exactly like v3's
+            # (gall * gstile) @ rj path
+            ps = (gall_cat.astype(jnp.float32)
+                  * g_cat).astype(cdt)  # (n', cs*ic*c)
+            dw_cat = jax.lax.dot_general(
+                ps, _sbatch_dw_mat(j, nnc, ic, c, cs, cdt),
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=prec,
+            )  # (n', cs*nnc*ic), nonzero only in j's columns per s block
+            for s in range(cs):
+                dw_ref[bi, s] = dw_ref[bi, s] + dw_cat[
+                    :, s * nnc * ic:(s + 1) * nnc * ic
+                ].astype(dw_ref.dtype)
+            # M blocks: sum_i w[:, (j,s,i)] * g_i, assembled for ALL s
+            we_cat = jax.lax.dot_general(
+                w_cat, _sbatch_we_mat(j, nnc, ic, c, cs, cdt),
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=prec,
+            )  # (n', cs*ic*c)
+            mall = jax.lax.dot_general(
+                (we_cat * gall_cat.astype(jnp.float32)).astype(cdt), rmb,
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=prec,
+            )  # (n', cs*c)
+            dfeat_ref[bi] = dfeat_ref[bi] + jax.lax.dot_general(
+                oh, mall.astype(cdt), (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=prec,
+            ).astype(dfeat_ref.dtype)
+            return 0
 
         def jbody(j, _):
             oh = (kiota == _nccj_column(ncc_all, j)).astype(cdt)
@@ -235,7 +362,7 @@ def _merge_bwd_kernel(w_ref, feat_ref, ncc_ref, g_ref, dw_ref, dfeat_ref,
             ).astype(dfeat_ref.dtype)
             return 0
 
-        jax.lax.fori_loop(0, nnc, jbody, 0)
+        jax.lax.fori_loop(0, nnc, jbody_sbatch if sbatch else jbody, 0)
 
 
 def _pad_axis(x, axis, target):
@@ -284,7 +411,7 @@ def _stack_model(n_, k, cs, c, ic, nnc, itemsize):
     so only ONE (j, s) iteration is live at a time."""
     lane = 128
     f32 = 4
-    return (
+    base = (
         n_ * max(k, lane) * itemsize      # one-hot
         + n_ * max(cs * c, lane) * f32    # gathered plane g (live per j)
         + n_ * max(ic * c, lane) * f32 * 3  # acc + we + gtile
@@ -292,6 +419,11 @@ def _stack_model(n_, k, cs, c, ic, nnc, itemsize):
         + n_ * max(nnc, lane) * 4 * 2     # ncc block + masked temp
         + k * max(cs * c, lane) * itemsize  # feat slab
     )
+    if _sbatch_on(cs, ic, c):
+        # v4 keeps ~3 lane-assembled (n', cs*ic*c) planes live per j
+        # (g_cat / we_cat / product) plus the hoisted gall_cat
+        base += n_ * max(cs * ic * c, lane) * f32 * 4
+    return base
 
 
 def _merge_fwd_impl(weights, feat, ncc, cluster_size):

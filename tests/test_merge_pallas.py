@@ -109,3 +109,32 @@ def test_model_end_to_end_with_pallas_merge(monkeypatch):
     np.testing.assert_allclose(
         np.asarray(out), np.asarray(ref), atol=1e-5, rtol=1e-4
     )
+
+
+def test_merge_sbatch_matches_default(monkeypatch):
+    """s-batched (v4) kernel bodies vs the v3 cs-loop, fwd + grads.
+
+    MLAFF_MERGE_SBATCH=1 replaces the per-slot 24/32-lane matmuls with a
+    few full-width lane-assembled ones (see _sbatch_* in merge_pallas).
+    The fwd is bit-identical by construction (same f32 products, same
+    accumulation order); the bwd rounds products to bf16 exactly where
+    v3 does, so fp32 grads match tightly."""
+    weights, feat, ncc = _case(2, 64, 16, 32, 8, 3)
+
+    def run(w, f):
+        return fused_cluster_merge(w, f, ncc, 8)
+
+    def loss(w, f):
+        o = run(w, f)
+        return (o * jnp.cos(jnp.arange(o.size).reshape(o.shape))).sum()
+
+    base = run(weights, feat)
+    gw0, gf0 = jax.grad(loss, argnums=(0, 1))(weights, feat)
+    monkeypatch.setenv("MLAFF_MERGE_SBATCH", "1")
+    out = run(weights, feat)
+    gw1, gf1 = jax.grad(loss, argnums=(0, 1))(weights, feat)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(base))
+    np.testing.assert_allclose(np.asarray(gw1), np.asarray(gw0),
+                               atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(gf1), np.asarray(gf0),
+                               atol=1e-5, rtol=1e-5)
