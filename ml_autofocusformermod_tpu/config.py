@@ -142,6 +142,10 @@ def default_config() -> CfgNode:
     c.DATA.INTERPOLATION = "bicubic"
     c.DATA.PIN_MEMORY = True
     c.DATA.NUM_WORKERS = 32
+    # wire format of normalized train images (worker IPC + H2D payload):
+    # "float16" halves it with fp16 quantization ~8-16x below bf16 compute
+    # rounding; eval always ships float32 (exact parity)
+    c.DATA.TRANSPORT_DTYPE = "float32"
 
     c.MODEL = CfgNode()
     c.MODEL.TYPE = "aff"

@@ -165,6 +165,7 @@ class Loader:
         num_workers: int = 0,
         drop_last: bool = True,
         stride_shard: bool = False,
+        transport_dtype: str = "float32",
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -175,6 +176,13 @@ class Loader:
         self.num_workers = num_workers
         self.drop_last = drop_last
         self.stride_shard = stride_shard
+        # DATA.TRANSPORT_DTYPE: wire format of the normalized images from
+        # the decode worker to the device. "float16" halves the worker-IPC
+        # and H2D payload (77 -> 38 MB at b128/224); fp16 ulp at the
+        # normalized image range (~0.002) sits 8-16x below bf16 compute
+        # rounding, so training numerics are unaffected. Default float32
+        # preserves exact eval parity.
+        self.transport_dtype = np.dtype(transport_dtype)
         self.epoch = 0
 
     def set_epoch(self, epoch: int) -> None:
@@ -217,6 +225,7 @@ class Loader:
         batch_imgs, batch_labels, batch_valid = [], [], []
         for i in indices:
             img, label = self.dataset[0 if i < 0 else int(i)]
+            img = img.astype(self.transport_dtype, copy=False)
             batch_imgs.append(img)
             batch_labels.append(label)
             batch_valid.append(i >= 0)
@@ -250,6 +259,9 @@ class Loader:
             def __getitem__(self, i):
                 j = int(indices[i])
                 img, label = outer.dataset[0 if j < 0 else j]
+                # cast IN THE WORKER so the IPC pipe carries the (possibly
+                # halved) transport payload, not float32
+                img = img.astype(outer.transport_dtype, copy=False)
                 return (
                     torch.from_numpy(np.ascontiguousarray(img)),
                     int(label),
@@ -290,6 +302,7 @@ def build_loaders(config, host: int = 0, num_hosts: int = 1):
         seed=config.SEED,
         num_workers=workers,
         drop_last=True,
+        transport_dtype=config.DATA.TRANSPORT_DTYPE,
     )
     val_loader = Loader(
         val_ds,

@@ -1718,6 +1718,13 @@ def _bwd_kernel(*refs, h: int, cs: int, n_valid: int, rel_width: int,
     row_i = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
     lane_i = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
     dpe_tile = jnp.zeros((8, 128), jnp.float32)
+    # MLAFF_BPROBE (perf decomposition only — breaks numerics, mirror of
+    # the forward's MLAFF_PROBE): 'nosm' drops the softmax-recompute
+    # exp/max chain, 'nojac' drops the jacobian (s/dl) chain, 'nodq'
+    # the dq matmuls, 'nodkv' the dkw/dvw matmuls + band accumulation,
+    # 'nodpe' the d_pos-embed plane reduces. scripts/bench_stage1_bwd.py
+    # uses these to attribute the stage-1 bwd cost. Trace-time only.
+    bprobe = os.environ.get("MLAFF_BPROBE", "")
 
     def head_bias(hi, dx, dy, dist, sinp, cosp):
         # 5 madds over the table features; dist/sin/cos already exist for
@@ -1787,17 +1794,22 @@ def _bwd_kernel(*refs, h: int, cs: int, n_valid: int, rel_width: int,
                     preferred_element_type=jnp.float32, precision=prec,
                 )  # (wsg*tq, 1)
                 tall_lg = [scratch_lg[j] for j in range(nbands)]
-                mx = blank
-                for lg in tall_lg:
-                    mx = jnp.maximum(mx, lg.max(axis=-1, keepdims=True))
-                pb = jnp.exp(blank - mx)
-                denom = pb
-                ps = []
-                for lg in tall_lg:
-                    p = jnp.exp(lg - mx)
-                    ps.append(p)
-                    denom = denom + p.sum(axis=-1, keepdims=True)
-                pinv = 1.0 / denom
+                if "nosm" in bprobe:
+                    pb = blank
+                    ps = list(tall_lg)
+                    pinv = jnp.full_like(blank, 1.0)
+                else:
+                    mx = blank
+                    for lg in tall_lg:
+                        mx = jnp.maximum(mx, lg.max(axis=-1, keepdims=True))
+                    pb = jnp.exp(blank - mx)
+                    denom = pb
+                    ps = []
+                    for lg in tall_lg:
+                        p = jnp.exp(lg - mx)
+                        ps.append(p)
+                        denom = denom + p.sum(axis=-1, keepdims=True)
+                    pinv = 1.0 / denom
                 # normalization folded into narrow row-scalings (see
                 # the core bwd loop): p/pb stay raw; the dp matmuls run
                 # AFTER the recompute so they can consume go' = pinv*go
@@ -1821,12 +1833,16 @@ def _bwd_kernel(*refs, h: int, cs: int, n_valid: int, rel_width: int,
                     preferred_element_type=jnp.float32, precision=prec,
                 )  # (wsg*tq, 1) — pinv-scaled
                 dps = [scratch_dp[j] for j in range(nbands)]
-                s = dpb * pb
-                for p, dp in zip(ps, dps):
-                    s = s + (dp * p).sum(axis=-1, keepdims=True)
-                us = s * pinv
-                dlb = pb * (dpb - us)
-                dls = [p * (dp - us) for p, dp in zip(ps, dps)]
+                if "nojac" in bprobe:
+                    dlb = pb
+                    dls = list(ps)
+                else:
+                    s = dpb * pb
+                    for p, dp in zip(ps, dps):
+                        s = s + (dp * p).sum(axis=-1, keepdims=True)
+                    us = s * pinv
+                    dlb = pb * (dpb - us)
+                    dls = [p * (dp - us) for p, dp in zip(ps, dps)]
 
                 for o in range(wsg):
                     osl = slice(o * tq, (o + 1) * tq)
@@ -1835,11 +1851,14 @@ def _bwd_kernel(*refs, h: int, cs: int, n_valid: int, rel_width: int,
                         dlm = dl[osl].astype(md)
                         k = get_kv(j, b0 + o, 2 * hi * c_,
                                    (2 * hi + 1) * c_)
-                        dq = dq + jax.lax.dot_general(
-                            dlm, k, (((1,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32,
-                            precision=prec,
-                        )
+                        if "nodq" not in bprobe:
+                            dq = dq + jax.lax.dot_general(
+                                dlm, k, (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32,
+                                precision=prec,
+                            )
+                        if "nodkv" in bprobe:
+                            continue
                         dkw = jax.lax.dot_general(
                             dlm, q_ref[b0 + o, :, hi * c_:(hi + 1) * c_],
                             (((0,), (0,)), ((), ())),
@@ -1870,6 +1889,8 @@ def _bwd_kernel(*refs, h: int, cs: int, n_valid: int, rel_width: int,
                 # dpe: image-summed dl per band, then 5 plane reduces
                 # (geometry is image-invariant under batch_inv)
                 for j, dl in enumerate(dls):
+                    if "nodpe" in bprobe:
+                        break
                     dl_sum = dl[0:tq, :]
                     for o in range(1, wsg):
                         dl_sum = dl_sum + dl[o * tq:(o + 1) * tq, :]

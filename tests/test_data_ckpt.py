@@ -224,3 +224,24 @@ def test_prefetch_to_mesh_order_transform_and_errors():
     next(it)
     with pytest.raises(RuntimeError, match="loader died"):
         list(it)
+
+
+def test_loader_transport_dtype(cfg, tmp_path):
+    """DATA.TRANSPORT_DTYPE=float16 ships normalized images as fp16 (half
+    the worker-IPC and H2D payload); values are the float32 pipeline's
+    rounded to fp16 — quantization well below bf16 compute rounding."""
+    import numpy as np
+
+    from ml_autofocusformermod_tpu.data.imagenet import (
+        SyntheticDataset, Loader,
+    )
+
+    ds = SyntheticDataset(img_size=16, num_classes=4, length=8)
+    base = next(iter(Loader(ds, 4, shuffle=False, drop_last=True)))
+    half = next(iter(Loader(ds, 4, shuffle=False, drop_last=True,
+                            transport_dtype="float16")))
+    assert base["image"].dtype == np.float32
+    assert half["image"].dtype == np.float16
+    np.testing.assert_array_equal(
+        half["image"], base["image"].astype(np.float16)
+    )
