@@ -730,17 +730,25 @@ def _drop_keep(seed, img, hi, row0, col0, rows, cols, rate):
 def _fwd_kernel(*refs, h: int, cs: int, n_valid: int, rel_width: int,
                 clamp_hi: Optional[int], hiprec: bool, nb: int, wb: int,
                 batch_inv: bool, cu: int = 0, cbs: int = 0, wsg: int = 1,
-                sbands: bool = False, drop_rate: float = 0.0):
+                sbands: bool = False, drop_rate: float = 0.0,
+                stats: bool = False):
     scratch_kv = None
     scratch_lg = None
+    stats_ref = None
     # scratch refs are popped positionally: the wsg logits plane and the
     # compact kv copy are mutually exclusive by call-site construction
     # (_attention_fwd_impl forces wsg=1 on the compact path)
     assert not (wsg > 1 and cu), "wsg>1 and compact are mutually exclusive"
+    # ref order: inputs..., outputs (out, [stats]), scratches — pop the
+    # scratch first, then the trailing stats OUTPUT (gb, tq, 2h): per-row
+    # softmax max (lane hi) and denominator (lane h+hi), saved for the
+    # MLAFF_BWD_SAVED backward (drops the bwd's max/sum lane reductions)
     if wsg > 1:
         refs, scratch_lg = refs[:-1], refs[-1]
     if cu:
         refs, scratch_kv = refs[:-1], refs[-1]
+    if stats:
+        refs, stats_ref = refs[:-1], refs[-1]
     (q_ref, posq_ref, get_kv, get_pos, col0, valids, tail,
      col_cluster) = _unpack_refs(refs, nb, wb, cu, cbs, scratch_kv, sbands)
     if drop_rate > 0.0:
@@ -843,6 +851,11 @@ def _fwd_kernel(*refs, h: int, cs: int, n_valid: int, rel_width: int,
                     p = jnp.exp(lg - mx)
                     ps.append(p)
                     denom = denom + p.sum(axis=-1, keepdims=True)
+                if stats_ref is not None:
+                    for o in range(wsg):
+                        osl = slice(o * tq, (o + 1) * tq)
+                        stats_ref[b0 + o, :, hi:hi + 1] = mx[osl]
+                        stats_ref[b0 + o, :, h + hi:h + hi + 1] = denom[osl]
                 # normalization folded into the narrow output (see the
                 # core loop): AV runs on the raw exp planes, one
                 # pinv multiply on (tq, c_) per image
@@ -909,6 +922,9 @@ def _fwd_kernel(*refs, h: int, cs: int, n_valid: int, rel_width: int,
                 ps.append(p)
                 denom = denom + p.sum(axis=-1, keepdims=True)
 
+            if stats_ref is not None:
+                stats_ref[bi, :, hi:hi + 1] = mx
+                stats_ref[bi, :, h + hi:h + hi + 1] = denom
             if seed_ref is not None:
                 # attention-prob dropout after the softmax (reference
                 # aff_transformer.py:148); blank slot uses reserved col
@@ -1303,7 +1319,12 @@ def _gb_for(b: int, per_image_bytes: int, budget: int, cap: int = 16,
 
 def _attention_fwd_impl(q, kv, ncc, pos, pe_kernel, pe_bias, blank_k,
                         blank_v, h, cs, rel_width, clamp_width,
-                        static_ncc=None, drop=None):
+                        static_ncc=None, drop=None, want_stats=False):
+    """``want_stats`` (windowed non-compact path only): additionally
+    return the per-row softmax (max, denom) as a (b, n, 2h) f32 tensor
+    for the MLAFF_BWD_SAVED backward; other paths return ``None`` stats.
+    Only the differentiation wrapper asks for stats, so inference
+    programs are untouched."""
     b, n, c = q.shape
     nnc = ncc.shape[-1]
     kk = -(-n // cs)
@@ -1485,7 +1506,8 @@ def _attention_fwd_impl(q, kv, ncc, pos, pe_kernel, pe_bias, blank_k,
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((b * np_, c), q.dtype),
         )(q_s, kv_p, posq_s, pos_t, ncc_s, *tail_operands)
-        return out.reshape(b, np_, c)[:, :n, :]
+        out = out.reshape(b, np_, c)[:, :n, :]
+        return (out, None) if want_stats else out
 
     if compact:
         # Resident K/V (fetched once per image group) + per-tile compact
@@ -1522,7 +1544,7 @@ def _attention_fwd_impl(q, kv, ncc, pos, pe_kernel, pe_bias, blank_k,
             ),
             scratch_shapes=[pltpu.VMEM((gb, ucs, 2 * c), kv_p.dtype)],
         )
-        return pl.pallas_call(
+        out = pl.pallas_call(
             kernel,
             grid_spec=grid_spec,
             interpret=_interpret(),
@@ -1530,6 +1552,7 @@ def _attention_fwd_impl(q, kv, ncc, pos, pe_kernel, pe_bias, blank_k,
             out_shape=out_shape,
         )(jnp.asarray(starts_np), q, kv_p, pos_q, jnp.asarray(clc_np),
           jnp.asarray(posc_np), ncc, *tail_operands)
+        return (out, None) if want_stats else out
 
     if window is not None:
         # Resident K/V: full blocks with tile-invariant index maps (one
@@ -1557,22 +1580,38 @@ def _attention_fwd_impl(q, kv, ncc, pos, pe_kernel, pe_bias, blank_k,
                              memory_space=pltpu.VMEM),
                 *tail_specs,
             ],
-            out_specs=pl.BlockSpec(
-                (gb, tq, c), lambda bi, ti, offs: (bi, ti, 0),
-                memory_space=pltpu.VMEM,
+            out_specs=(
+                [pl.BlockSpec((gb, tq, c),
+                              lambda bi, ti, offs: (bi, ti, 0),
+                              memory_space=pltpu.VMEM),
+                 pl.BlockSpec((gb, tq, 2 * h),
+                              lambda bi, ti, offs: (bi, ti, 0),
+                              memory_space=pltpu.VMEM)]
+                if want_stats else
+                pl.BlockSpec((gb, tq, c),
+                             lambda bi, ti, offs: (bi, ti, 0),
+                             memory_space=pltpu.VMEM)
             ),
             scratch_shapes=(
                 [pltpu.VMEM((max(nb, 1), wsg * tq, Wb), jnp.float32)]
                 if wsg > 1 else []
             ),
         )
-        return pl.pallas_call(
-            kernel,
+        wkern = (
+            functools.partial(kernel, stats=True) if want_stats else kernel
+        )
+        res = pl.pallas_call(
+            wkern,
             grid_spec=grid_spec,
             interpret=_interpret(),
             compiler_params=compiler_params,
-            out_shape=out_shape,
+            out_shape=(
+                [out_shape,
+                 jax.ShapeDtypeStruct((b, n, 2 * h), jnp.float32)]
+                if want_stats else out_shape
+            ),
         )(jnp.asarray(offs_np), q, kv_p, pos_q, pos_t, ncc, *tail_operands)
+        return (res[0], res[1]) if want_stats else res
 
     # Query-row padding for unfactorable dense stages (see _dense_pad_tile):
     # only when the whole token axis would otherwise be ONE tile. Disabled
@@ -1616,7 +1655,8 @@ def _attention_fwd_impl(q, kv, ncc, pos, pe_kernel, pe_bias, blank_k,
 
     if twin is None:
         out = _dense_call(None)
-        return out[:, :n] if nq != n else out
+        out = out[:, :n] if nq != n else out
+        return (out, None) if want_stats else out
 
     ttq, wt, offs128, ok = twin
     np128 = -(-np_ // 128) * 128
@@ -1662,14 +1702,15 @@ def _attention_fwd_impl(q, kv, ncc, pos, pe_kernel, pe_bias, blank_k,
         )(offs128.reshape(b // gbw, gbw, ntw), q, kv_pw, pos_q, pos_tw,
           ncc, *tail_operands)
 
-    return jax.lax.cond(ok, _twin_call, _dense_call, 0)
+    out = jax.lax.cond(ok, _twin_call, _dense_call, 0)
+    return (out, None) if want_stats else out
 
 
 def _bwd_kernel(*refs, h: int, cs: int, n_valid: int, rel_width: int,
                 clamp_hi: Optional[int], hiprec: bool, nb: int, wb: int,
                 batch_inv: bool, cu: int = 0, cbs: int = 0,
                 sbands: bool = False, drop_rate: float = 0.0,
-                wsg: int = 1):
+                wsg: int = 1, sv: bool = False):
     """Fused backward: recomputes the forward softmax per query tile (flash
     style — nothing but the inputs is saved), then produces dq per tile and
     accumulates dkv / d_pos-embed / d_blank into per-image-group VMEM
@@ -1691,9 +1732,15 @@ def _bwd_kernel(*refs, h: int, cs: int, n_valid: int, rel_width: int,
     starts_ref = refs[0] if cu else None
     (q_ref, posq_ref, get_kv, get_pos, col0, valids, tail,
      col_cluster) = _unpack_refs(refs, nb, wb, cu, cbs, scratch_kv, sbands)
+    outp_ref = stats_ref = None
     if drop_rate > 0.0:
         (ncc_ref, wpe_ref, bpe_ref, bk_ref, bv_ref, seed_ref, gout_ref,
          dq_ref, dkv_ref, dpe_ref, dblank_ref) = tail
+    elif sv:
+        # saved-residual inputs (fwd output + softmax stats) follow g_out
+        (ncc_ref, wpe_ref, bpe_ref, bk_ref, bv_ref, gout_ref, outp_ref,
+         stats_ref, dq_ref, dkv_ref, dpe_ref, dblank_ref) = tail
+        seed_ref = None
     else:
         (ncc_ref, wpe_ref, bpe_ref, bk_ref, bv_ref, gout_ref,
          dq_ref, dkv_ref, dpe_ref, dblank_ref) = tail
@@ -1794,7 +1841,19 @@ def _bwd_kernel(*refs, h: int, cs: int, n_valid: int, rel_width: int,
                     preferred_element_type=jnp.float32, precision=prec,
                 )  # (wsg*tq, 1)
                 tall_lg = [scratch_lg[j] for j in range(nbands)]
-                if "nosm" in bprobe:
+                if sv:
+                    # saved stats: the fwd's (max, denom) rows replace the
+                    # max/sum lane reductions over the (wsg*tq, Wb) planes
+                    mx = stats_ref[
+                        b0:b0 + wsg, :, hi:hi + 1
+                    ].reshape(wsg * tq, 1)
+                    denom = stats_ref[
+                        b0:b0 + wsg, :, h + hi:h + hi + 1
+                    ].reshape(wsg * tq, 1)
+                    pb = jnp.exp(blank - mx)
+                    ps = [jnp.exp(lg - mx) for lg in tall_lg]
+                    pinv = 1.0 / denom
+                elif "nosm" in bprobe:
                     pb = blank
                     ps = list(tall_lg)
                     pinv = jnp.full_like(blank, 1.0)
@@ -1833,7 +1892,19 @@ def _bwd_kernel(*refs, h: int, cs: int, n_valid: int, rel_width: int,
                     preferred_element_type=jnp.float32, precision=prec,
                 )  # (wsg*tq, 1) — pinv-scaled
                 dps = [scratch_dp[j] for j in range(nbands)]
-                if "nojac" in bprobe:
+                if sv:
+                    # flash delta trick: s = dpb*pb + sum(dp*p) equals
+                    # rowsum(g_out * out) analytically (out = normalized
+                    # attention output, saved by the fwd) — a (wsg*tq, c_)
+                    # product+reduce instead of (wsg*tq, Wb) per band
+                    outp_tall = outp_ref[
+                        b0:b0 + wsg, :, hi * c_:(hi + 1) * c_
+                    ].reshape(wsg * tq, c_).astype(jnp.float32)
+                    s = (go32_tall * outp_tall).sum(axis=-1, keepdims=True)
+                    us = s * pinv
+                    dlb = pb * (dpb - us)
+                    dls = [p * (dp - us) for p, dp in zip(ps, dps)]
+                elif "nojac" in bprobe:
                     dlb = pb
                     dls = list(ps)
                 else:
@@ -1843,6 +1914,67 @@ def _bwd_kernel(*refs, h: int, cs: int, n_valid: int, rel_width: int,
                     us = s * pinv
                     dlb = pb * (dpb - us)
                     dls = [p * (dp - us) for p, dp in zip(ps, dps)]
+
+                # MLAFF_BWD_DKV_OB=k: batch the dkw/dvw matmuls over k
+                # images via a block-diagonal right operand. The r5a
+                # decomposition pins the dkv leg at ~6 ms of the 13.95 ms
+                # stage-1 bwd — 7168 narrow (K=tq, N=c_) matmul ISSUES
+                # per block, not MACs (theoretical MAC time 0.27 ms).
+                # One (k*tq, Wb)^T @ (k*tq, k*c_) matmul replaces k*2
+                # issues at k-fold zero-padding MAC waste — still far
+                # under the issue overhead it removes.
+                ob = int(os.environ.get("MLAFF_BWD_DKV_OB", "1"))
+                while ob > 1 and wsg % ob:
+                    ob -= 1
+                if ob > 1 and "nodkv" not in bprobe:
+                    k0 = 2 * hi * c_
+                    v0 = (2 * hi + 1) * c_
+                    rb = jax.lax.broadcasted_iota(
+                        jnp.int32, (ob * tq, ob * c_), 0) // tq
+                    cb = jax.lax.broadcasted_iota(
+                        jnp.int32, (ob * tq, ob * c_), 1) // c_
+                    diag = rb == cb
+                    for g0 in range(0, wsg, ob):
+                        rows = slice(g0 * tq, (g0 + ob) * tq)
+                        q_blk = q_ref[
+                            b0 + g0:b0 + g0 + ob, :, hi * c_:(hi + 1) * c_
+                        ].reshape(ob * tq, c_)
+                        q_diag = jnp.where(
+                            diag,
+                            jnp.concatenate([q_blk] * ob, axis=1), 0
+                        ).astype(md)
+                        g_blk = go_s_tall[rows]
+                        g_diag = jnp.where(
+                            diag,
+                            jnp.concatenate([g_blk] * ob, axis=1), 0
+                        ).astype(md)
+                        for j, dl in enumerate(dls):
+                            dkw_all = jax.lax.dot_general(
+                                dl[rows].astype(md), q_diag,
+                                (((0,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32,
+                                precision=prec,
+                            )  # (Wb, ob*c_): column block oo = dkw_oo
+                            dvw_all = jax.lax.dot_general(
+                                ps[j][rows].astype(md), g_diag,
+                                (((0,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32,
+                                precision=prec,
+                            )
+                            for oo in range(ob):
+                                o = g0 + oo
+                                c0b = col0(j, b0 + o)
+                                csl = slice(oo * c_, (oo + 1) * c_)
+                                dkv_ref[
+                                    b0 + o, pl.ds(c0b, wb), k0:k0 + c_
+                                ] = dkv_ref[
+                                    b0 + o, pl.ds(c0b, wb), k0:k0 + c_
+                                ] + dkw_all[:, csl]
+                                dkv_ref[
+                                    b0 + o, pl.ds(c0b, wb), v0:v0 + c_
+                                ] = dkv_ref[
+                                    b0 + o, pl.ds(c0b, wb), v0:v0 + c_
+                                ] + dvw_all[:, csl]
 
                 for o in range(wsg):
                     osl = slice(o * tq, (o + 1) * tq)
@@ -1857,7 +1989,7 @@ def _bwd_kernel(*refs, h: int, cs: int, n_valid: int, rel_width: int,
                                 preferred_element_type=jnp.float32,
                                 precision=prec,
                             )
-                        if "nodkv" in bprobe:
+                        if "nodkv" in bprobe or ob > 1:
                             continue
                         dkw = jax.lax.dot_general(
                             dlm, q_ref[b0 + o, :, hi * c_:(hi + 1) * c_],
@@ -1955,18 +2087,25 @@ def _bwd_kernel(*refs, h: int, cs: int, n_valid: int, rel_width: int,
                 q, bk_ref[:, hi:hi + 1], (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32, precision=prec,
             )  # (tq, 1)
-            mx = blank
-            for lg in logits:
-                mx = jnp.maximum(mx, lg.max(axis=-1, keepdims=True))
-            ps = []
-            denom = jnp.exp(blank - mx)
-            pb_num = denom
-            for j, lg in enumerate(logits):
-                p = jnp.exp(lg - mx)
-                if not batch_inv:
-                    p = jnp.where(geos[j][4], p, 0.0)
-                ps.append(p)
-                denom = denom + p.sum(axis=-1, keepdims=True)
+            if sv:
+                # saved stats (see the wsg branch): skip max/sum reduces
+                mx = stats_ref[bi, :, hi:hi + 1]
+                denom = stats_ref[bi, :, h + hi:h + hi + 1]
+                pb_num = jnp.exp(blank - mx)
+                ps = [jnp.exp(lg - mx) for lg in logits]
+            else:
+                mx = blank
+                for lg in logits:
+                    mx = jnp.maximum(mx, lg.max(axis=-1, keepdims=True))
+                ps = []
+                denom = jnp.exp(blank - mx)
+                pb_num = denom
+                for j, lg in enumerate(logits):
+                    p = jnp.exp(lg - mx)
+                    if not batch_inv:
+                        p = jnp.where(geos[j][4], p, 0.0)
+                    ps.append(p)
+                    denom = denom + p.sum(axis=-1, keepdims=True)
             pinv = 1.0 / denom
             # Normalization folded into NARROW row-scalings (mirror of
             # the forward's pinv move; these kernels are VMEM
@@ -2011,7 +2150,16 @@ def _bwd_kernel(*refs, h: int, cs: int, n_valid: int, rel_width: int,
                 if dmasks is not None:
                     dp = dp * dmasks[j]
                 dps.append(dp)
-                s = s + (dp * p).sum(axis=-1, keepdims=True)
+                if not sv:
+                    s = s + (dp * p).sum(axis=-1, keepdims=True)
+            if sv:
+                # flash delta trick on the saved fwd output (see wsg
+                # branch): s = dpb*pb + sum(dp*p) == rowsum(go * out),
+                # a (tq, c_) reduce instead of (tq, Wb) per band
+                outp = outp_ref[
+                    bi, :, hi * c_:(hi + 1) * c_
+                ].astype(jnp.float32)
+                s = (go32 * outp).sum(axis=-1, keepdims=True)
             us = s * pinv  # (tq, 1)
             dlb = pb_num * (dpb - us)  # (tq, 1)
 
@@ -2102,9 +2250,15 @@ def _bwd_kernel(*refs, h: int, cs: int, n_valid: int, rel_width: int,
 
 def _attention_bwd_impl(q, kv, ncc, pos, pe_kernel, pe_bias, blank_k,
                         blank_v, g_out, h, cs, rel_width, clamp_width,
-                        static_ncc, drop=None):
+                        static_ncc, drop=None, saved=None):
     """Pallas backward; static decisions (tile, window, gb) mirror the
-    forward exactly so window offsets line up."""
+    forward exactly so window offsets line up.
+
+    ``saved`` (windowed batch-invariant path only): ``(out, stats)``
+    residuals from the forward — the attention output and the (b, n, 2h)
+    per-row softmax (max, denom). When present the kernel skips the
+    softmax max/sum recompute reductions and uses the flash delta trick
+    for the jacobian row term (see _fca_fwd)."""
     wsg_b = 1
     b, n, c = q.shape
     nnc = ncc.shape[-1]
@@ -2181,13 +2335,17 @@ def _attention_bwd_impl(q, kv, ncc, pos, pe_kernel, pe_bias, blank_k,
 
     nt = n // tq
     sbands = window is None and nb > 0
+    # saved-residual fast path: only meaningful on the windowed
+    # batch-invariant route (the fwd produced stats under the same
+    # _route predicate, so presence implies the route matches)
+    use_saved = saved is not None and route.wsg_ok
     kernel = functools.partial(
         _bwd_kernel, h=h, cs=cs, n_valid=n, rel_width=rel_width,
         clamp_hi=clamp_hi, hiprec=hiprec, nb=nb, wb=Wb,
         batch_inv=static_ncc is not None,
         cu=cu if compact else 0, cbs=cbs if compact else 0,
         sbands=sbands, drop_rate=drop[0] if drop is not None else 0.0,
-        wsg=wsg_b,
+        wsg=wsg_b, sv=use_saved,
     )
     out_shape = [
         jax.ShapeDtypeStruct((b, n, c), q.dtype),           # dq
@@ -2205,6 +2363,11 @@ def _attention_bwd_impl(q, kv, ncc, pos, pe_kernel, pe_bias, blank_k,
         tail_operands = (
             pe_kernel.astype(jnp.float32), pe_bias.astype(jnp.float32),
             blank_k.astype(q.dtype), blank_v.astype(jnp.float32), g_out,
+        )
+    if use_saved:
+        # fwd output + softmax stats ride as two extra inputs after g_out
+        tail_operands = tail_operands + (
+            saved[0], saved[1].astype(jnp.float32),
         )
     # seed spec (SMEM) slots between blank_v and g_out when dropout is on
     seed_specs = (
@@ -2407,6 +2570,13 @@ def _attention_bwd_impl(q, kv, ncc, pos, pe_kernel, pe_bias, blank_k,
                 pl.BlockSpec((gb, tq, c),
                              lambda bi, ti, offs: (bi, ti, 0),
                              memory_space=pltpu.VMEM),
+                *([pl.BlockSpec((gb, tq, c),
+                                lambda bi, ti, offs: (bi, ti, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((gb, tq, 2 * h),
+                                lambda bi, ti, offs: (bi, ti, 0),
+                                memory_space=pltpu.VMEM)]
+                  if use_saved else []),
             ],
             out_specs=out_specs(True),
             scratch_shapes=(
@@ -2713,11 +2883,35 @@ def _fca(q, kv, ncc, pos, pe_kernel, pe_bias, blank_k, blank_v,
 
 def _fca_fwd(q, kv, ncc, pos, pe_kernel, pe_bias, blank_k, blank_v,
              h, cs, rel_width, clamp_width, static_ncc):
-    out = _attention_fwd_impl(
-        q, kv, ncc, pos, pe_kernel, pe_bias, blank_k, blank_v,
-        h, cs, rel_width, clamp_width, static_ncc,
+    # MLAFF_BWD_SAVED (windowed batch-invariant path): save the per-row
+    # softmax (max, denom) and the forward OUTPUT as residuals. The bwd
+    # then (a) skips its max/sum lane reductions over the (tq, W) planes
+    # and (b) computes the jacobian row term via the flash "delta trick"
+    # s = rowsum(g_out * out) on (tq, c_) instead of reducing dp*p over
+    # W — the r5a chip decomposition showed those two VPU chains are
+    # ~75% of the stage-1 backward (nosm 13.95 -> 8.86 ms, nojac ->
+    # 8.52 ms at b128).
+    b, n, c = q.shape
+    np_ = -(-n // cs) * cs
+    want = (
+        os.environ.get("MLAFF_BWD_SAVED", "0") == "1"
+        and _PALLAS_BWD and (c // h) % 8 == 0
+        and _route(n, np_, cs, static_ncc, None, bwd=True).wsg_ok
     )
-    return out, (q, kv, ncc, pos, pe_kernel, pe_bias, blank_k, blank_v)
+    if want:
+        out, stats = _attention_fwd_impl(
+            q, kv, ncc, pos, pe_kernel, pe_bias, blank_k, blank_v,
+            h, cs, rel_width, clamp_width, static_ncc, want_stats=True,
+        )
+    else:
+        out = _attention_fwd_impl(
+            q, kv, ncc, pos, pe_kernel, pe_bias, blank_k, blank_v,
+            h, cs, rel_width, clamp_width, static_ncc,
+        )
+        stats = None
+    saved = None if stats is None else (out, stats)
+    return out, (q, kv, ncc, pos, pe_kernel, pe_bias, blank_k, blank_v,
+                 saved)
 
 
 def _split_heads(x, h):
@@ -2732,7 +2926,8 @@ def _merge_heads(x):
 
 def _fca_bwd(h, cs, rel_width, clamp_width, static_ncc, residuals,
              g_out):
-    q, kv, ncc, pos, pe_kernel, pe_bias, blank_k, blank_v = residuals
+    (q, kv, ncc, pos, pe_kernel, pe_bias, blank_k, blank_v,
+     saved) = residuals
     c_ = q.shape[-1] // h
     # The interpreter normally takes the XLA-oracle backward (the Pallas
     # bwd is the production TPU path) — but that left the Pallas bwd with
@@ -2747,6 +2942,7 @@ def _fca_bwd(h, cs, rel_width, clamp_width, static_ncc, residuals,
             _attention_bwd_impl(
                 q, kv, ncc, pos, pe_kernel, pe_bias, blank_k, blank_v,
                 g_out, h, cs, rel_width, clamp_width, static_ncc,
+                saved=saved,
             )
         )
         return (dq, dkv, None, None, d_pe_kernel, d_pe_bias,

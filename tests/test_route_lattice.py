@@ -328,3 +328,127 @@ def test_layer_dropout_head_width_fallback(monkeypatch, heads, expect_fused):
         f"h={heads}: fused path {'not taken' if expect_fused else 'taken'}"
         " under dropout"
     )
+
+
+def test_wstack_saved_bwd_matches_recompute(monkeypatch):
+    """MLAFF_BWD_SAVED: the fwd-saved (max, denom, out) backward vs the
+    flash-style recompute backward on the windowed batch-invariant
+    route. The stats are bitwise the fwd's own values, so ps/pinv match
+    exactly; the delta-trick s (rowsum(go*out) over c_ instead of the
+    dp*p reduce over W) differs only by fp reassociation."""
+    from ml_autofocusformermod_tpu.ops.sfc import (
+        grid_cluster, grid_nearest_clusters,
+    )
+
+    h_, w_, cs, nnc, heads, c_, b = 16, 16, 8, 3, 2, 16, 4
+    n = h_ * w_
+    tq = 64
+    g_pos, *_ = grid_cluster(h_, w_, cs)
+    ncc_np = grid_nearest_clusters(h_, w_, cs, nnc)
+    pos = jnp.broadcast_to(jnp.asarray(g_pos, jnp.float32)[None], (b, n, 2))
+    ncc = jnp.broadcast_to(
+        jnp.asarray(ncc_np, jnp.int32)[None], (b,) + ncc_np.shape
+    )
+    ks = jax.random.split(jax.random.PRNGKey(9), 6)
+    q = jax.random.normal(ks[0], (b, n, heads * c_), jnp.float32)
+    kv = jax.random.normal(ks[1], (b, n, heads * 2 * c_), jnp.float32)
+    w5 = jax.random.normal(ks[2], (5, heads), jnp.float32) * 0.1
+    bh = jax.random.normal(ks[3], (heads,), jnp.float32) * 0.1
+    bk = jax.random.normal(ks[4], (c_, heads), jnp.float32) * 0.5
+    bv = jax.random.normal(ks[5], (heads, c_), jnp.float32) * 0.5
+
+    monkeypatch.setenv("MLAFF_PALLAS_BWD_INTERPRET", "1")
+    monkeypatch.setenv("MLAFF_WFRAC", "1.0")
+    monkeypatch.setenv("MLAFF_STACK", "0")
+    np_ = -(-n // cs) * cs
+    win = cp._static_window(ncc_np, n, tq, cs, np_)
+    orig = cp._choose_tiling
+
+    def forced(n_, np__, cs_, sn):
+        if sn is not None and n_ == n:
+            return tq, win
+        return orig(n_, np__, cs_, sn)
+
+    monkeypatch.setattr(cp, "_choose_tiling", forced)
+
+    def loss(q_, kv_):
+        o = fused_cluster_attention(
+            q_, kv_, ncc, pos, w5, bh, bk, bv, num_heads=heads, cs=cs,
+            rel_width=55, static_ncc=ncc_np, static_pos=g_pos,
+        )
+        return (o**2).sum()
+
+    grads = {}
+    # both wsg group sizes: >1 exercises the tall-scratch branch, =1 the
+    # per-image branch's saved block
+    for wsg_env in ("2", "0"):
+        monkeypatch.setenv("MLAFF_WSTACK_BWD", wsg_env)
+        for flag in ("1", "0"):
+            monkeypatch.setenv("MLAFF_BWD_SAVED", flag)
+            grads[(wsg_env, flag)] = jax.grad(
+                loss, argnums=(0, 1))(q, kv)
+        for a, b_, name in zip(grads[(wsg_env, "1")],
+                               grads[(wsg_env, "0")], ["q", "kv"]):
+            scale = max(float(jnp.abs(b_).max()), 1.0)
+            np.testing.assert_allclose(
+                np.asarray(a) / scale, np.asarray(b_) / scale, atol=5e-6,
+                err_msg=f"saved-bwd grad({name}) diverges (wsg={wsg_env})",
+            )
+
+
+def test_wstack_dkv_batched_matches(monkeypatch):
+    """MLAFF_BWD_DKV_OB: block-diagonal-batched dkw/dvw matmuls vs the
+    per-image ones on the windowed wsg route (r5a decomposition: the dkv
+    leg is ~6 ms of issue overhead at stage-1)."""
+    from ml_autofocusformermod_tpu.ops.sfc import (
+        grid_cluster, grid_nearest_clusters,
+    )
+
+    h_, w_, cs, nnc, heads, c_, b = 16, 16, 8, 3, 2, 16, 4
+    n = h_ * w_
+    tq = 64
+    g_pos, *_ = grid_cluster(h_, w_, cs)
+    ncc_np = grid_nearest_clusters(h_, w_, cs, nnc)
+    pos = jnp.broadcast_to(jnp.asarray(g_pos, jnp.float32)[None], (b, n, 2))
+    ncc = jnp.broadcast_to(
+        jnp.asarray(ncc_np, jnp.int32)[None], (b,) + ncc_np.shape
+    )
+    ks = jax.random.split(jax.random.PRNGKey(13), 6)
+    q = jax.random.normal(ks[0], (b, n, heads * c_), jnp.float32)
+    kv = jax.random.normal(ks[1], (b, n, heads * 2 * c_), jnp.float32)
+    w5 = jax.random.normal(ks[2], (5, heads), jnp.float32) * 0.1
+    bh = jax.random.normal(ks[3], (heads,), jnp.float32) * 0.1
+    bk = jax.random.normal(ks[4], (c_, heads), jnp.float32) * 0.5
+    bv = jax.random.normal(ks[5], (heads, c_), jnp.float32) * 0.5
+
+    monkeypatch.setenv("MLAFF_PALLAS_BWD_INTERPRET", "1")
+    monkeypatch.setenv("MLAFF_WFRAC", "1.0")
+    monkeypatch.setenv("MLAFF_STACK", "0")
+    monkeypatch.setenv("MLAFF_WSTACK_BWD", "2")
+    np_ = -(-n // cs) * cs
+    win = cp._static_window(ncc_np, n, tq, cs, np_)
+    orig = cp._choose_tiling
+
+    def forced(n_, np__, cs_, sn):
+        if sn is not None and n_ == n:
+            return tq, win
+        return orig(n_, np__, cs_, sn)
+
+    monkeypatch.setattr(cp, "_choose_tiling", forced)
+
+    def loss(q_, kv_):
+        o = fused_cluster_attention(
+            q_, kv_, ncc, pos, w5, bh, bk, bv, num_heads=heads, cs=cs,
+            rel_width=55, static_ncc=ncc_np, static_pos=g_pos,
+        )
+        return (o**2).sum()
+
+    base = jax.grad(loss, argnums=(0, 1))(q, kv)
+    monkeypatch.setenv("MLAFF_BWD_DKV_OB", "2")
+    batched = jax.grad(loss, argnums=(0, 1))(q, kv)
+    for a, b_, name in zip(batched, base, ["q", "kv"]):
+        scale = max(float(jnp.abs(b_).max()), 1.0)
+        np.testing.assert_allclose(
+            np.asarray(a) / scale, np.asarray(b_) / scale, atol=5e-6,
+            err_msg=f"dkv-batched grad({name}) diverges",
+        )
