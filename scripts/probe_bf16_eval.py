@@ -81,6 +81,10 @@ def main() -> None:
     x = (x + 0.3 * rng.standard_normal(x.shape)).astype(np.float32)
 
     logits = {}
+    # micro-batch 64: the fp32 Small fwd at one b256 dispatch needs
+    # 29.5 G of HBM (queue r5a-15 OOM); chunking changes nothing about
+    # the per-image numerics being compared
+    mb = min(batch, 64)
     for name, dtype in (("fp32", jnp.float32), ("bf16", jnp.bfloat16)):
         model = AutoFocusFormer(**common, **arch, dtype=dtype)
         variables = jax.jit(
@@ -94,11 +98,13 @@ def main() -> None:
         )
         assert not missing and not unexpected, (missing[:3], unexpected[:3])
         t0 = time.time()
-        out = jax.jit(
-            lambda v, xx, m=model: m.apply(v, xx, training=False)
-        )(variables, jnp.asarray(x))
-        out = np.asarray(out, np.float32)
-        print(f"# {name} fwd b{batch} {time.time()-t0:.1f}s "
+        fwd = jax.jit(lambda v, xx, m=model: m.apply(v, xx, training=False))
+        outs = [
+            np.asarray(fwd(variables, jnp.asarray(x[i:i + mb])), np.float32)
+            for i in range(0, batch, mb)
+        ]
+        out = np.concatenate(outs, axis=0)
+        print(f"# {name} fwd b{batch} (mb {mb}) {time.time()-t0:.1f}s "
               f"(incl compile)", file=sys.stderr)
         logits[name] = out
 
