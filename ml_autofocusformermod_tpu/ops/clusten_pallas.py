@@ -953,10 +953,11 @@ def _fwd_kernel(*refs, h: int, cs: int, n_valid: int, rel_width: int,
 
 
 def _fwd_kernel_stacked(q_ref, kv_ref, posq_ref, posk_ref, ncc_ref,
-                        wpe_ref, bpe_ref, bk_ref, bv_ref, out_ref, *,
-                        h: int, cs: int, n_valid: int, np_: int,
-                        rel_width: int, clamp_hi: Optional[int],
-                        hiprec: bool, gb: int, split: bool = False):
+                        wpe_ref, bpe_ref, bk_ref, bv_ref, out_ref,
+                        *maybe_stats, h: int, cs: int, n_valid: int,
+                        np_: int, rel_width: int,
+                        clamp_hi: Optional[int], hiprec: bool, gb: int,
+                        split: bool = False):
     """Dense-path forward with the image group stacked along rows.
 
     The small-token stages (n <= 256: AFF stages 3/4) are bound by
@@ -973,6 +974,7 @@ def _fwd_kernel_stacked(q_ref, kv_ref, posq_ref, posk_ref, ncc_ref,
     masked (their neighborhoods are NEG_INF) and the caller slices them
     off.
     """
+    stats_ref = maybe_stats[0] if maybe_stats else None  # (G, 2h) output
     G = gb * np_
     c = q_ref.shape[1]
     c_ = c // h
@@ -1061,6 +1063,10 @@ def _fwd_kernel_stacked(q_ref, kv_ref, posq_ref, posk_ref, ncc_ref,
         p = jnp.exp(lg - mx)
         pb = jnp.exp(blank - mx)
         denom = pb + p.sum(axis=-1, keepdims=True)
+        if stats_ref is not None:
+            # saved for the MLAFF_BWD_SAVED stacked backward
+            stats_ref[:, hi:hi + 1] = mx
+            stats_ref[:, h + hi:h + hi + 1] = denom
         # raw exp planes + pinv: normalization folds into the narrow
         # (G, c_) output in av_head (one full-plane pass saved per head
         # — these stages are VMEM plane-traffic bound, r4d probes)
@@ -1110,10 +1116,9 @@ def _fwd_kernel_stacked(q_ref, kv_ref, posq_ref, posk_ref, ncc_ref,
 
 def _bwd_kernel_stacked(q_ref, kv_ref, posq_ref, posk_ref, ncc_ref,
                         wpe_ref, bpe_ref, bk_ref, bv_ref, gout_ref,
-                        dq_ref, dkv_ref, dpe_ref, dblank_ref, *,
-                        h: int, cs: int, n_valid: int, np_: int,
+                        *rest, h: int, cs: int, n_valid: int, np_: int,
                         rel_width: int, clamp_hi: Optional[int],
-                        hiprec: bool, gb: int):
+                        hiprec: bool, gb: int, sv: bool = False):
     """Row-stacked backward for the small-token dense stages.
 
     The plain ``_bwd_kernel`` at np_ <= 256 pays the same per-(image,
@@ -1128,6 +1133,13 @@ def _bwd_kernel_stacked(q_ref, kv_ref, posq_ref, posk_ref, ncc_ref,
     contributions are exact zeros. dkv accumulates per-head in f32
     VMEM (deterministic, no atomics — reference scatter:
     ``clustenqk_cuda_kernel.cu:125``)."""
+    if sv:
+        # saved-residual inputs (fwd output + softmax stats) follow g_out
+        outp_ref, stats_ref = rest[0], rest[1]
+        dq_ref, dkv_ref, dpe_ref, dblank_ref = rest[2:]
+    else:
+        outp_ref = stats_ref = None
+        dq_ref, dkv_ref, dpe_ref, dblank_ref = rest
     G = gb * np_
     c = q_ref.shape[1]
     c_ = c // h
@@ -1196,10 +1208,22 @@ def _bwd_kernel_stacked(q_ref, kv_ref, posq_ref, posk_ref, ncc_ref,
             qh, bk_ref[:, hi:hi + 1], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32, precision=prec,
         )  # (G, 1)
-        mx = jnp.maximum(blank, lg.max(axis=-1, keepdims=True))
-        p = jnp.exp(lg - mx)
-        pb = jnp.exp(blank - mx)
-        pinv = 1.0 / (pb + p.sum(axis=-1, keepdims=True))
+        if sv:
+            # saved stats skip the max/sum lane reductions. Padded rows
+            # (row >= n in each image block) carry ZERO stats (the fwd's
+            # (b, n, 2h) output is re-padded with zeros) — clamp the
+            # denominator so pinv stays finite; their g_out rows are
+            # zero, so every contribution still cancels exactly.
+            mx = stats_ref[:, hi:hi + 1]
+            denom = jnp.maximum(stats_ref[:, h + hi:h + hi + 1], 1e-30)
+            p = jnp.exp(lg - mx)
+            pb = jnp.exp(blank - mx)
+            pinv = 1.0 / denom
+        else:
+            mx = jnp.maximum(blank, lg.max(axis=-1, keepdims=True))
+            p = jnp.exp(lg - mx)
+            pb = jnp.exp(blank - mx)
+            pinv = 1.0 / (pb + p.sum(axis=-1, keepdims=True))
         # normalization folded into narrow row-scalings (see the core
         # bwd loop): p/pb stay raw, go' = pinv * go carries the scale
         go_s32 = go32 * pinv  # (G, c_)
@@ -1219,7 +1243,13 @@ def _bwd_kernel_stacked(q_ref, kv_ref, posq_ref, posk_ref, ncc_ref,
                 preferred_element_type=jnp.float32, precision=prec,
             ))
         dp = jnp.concatenate(dps, axis=0)  # (G, np_) — pinv-scaled
-        s = dpb * pb + (dp * p).sum(axis=-1, keepdims=True)
+        if sv:
+            # flash delta trick (see the windowed branch): s equals
+            # rowsum(go * out) over c_ — no (G, np_) product+reduce
+            outh = outp_ref[:, hi * c_:(hi + 1) * c_].astype(jnp.float32)
+            s = (go32 * outh).sum(axis=-1, keepdims=True)
+        else:
+            s = dpb * pb + (dp * p).sum(axis=-1, keepdims=True)
         us = s * pinv
         dl = p * (dp - us)  # (G, np_); 0 at non-member slots (p there 0)
         dlb = pb * (dpb - us)  # (G, 1)
@@ -1484,7 +1514,7 @@ def _attention_fwd_impl(q, kv, ncc, pos, pe_kernel, pe_bias, blank_k,
         q_s = _pad_rows(q, np_).reshape(b * np_, c)
         posq_s = _pad_rows(pos_q, np_).reshape(b * np_, 2)
         ncc_s = _pad_rows(ncc, np_).reshape(b * np_, nnc)
-        out = pl.pallas_call(
+        res = pl.pallas_call(
             skernel,
             grid=(b // gb,),
             interpret=_interpret(),
@@ -1502,12 +1532,27 @@ def _attention_fwd_impl(q, kv, ncc, pos, pe_kernel, pe_bias, blank_k,
                              memory_space=pltpu.VMEM),
                 *tail_specs,
             ],
-            out_specs=pl.BlockSpec((gb * np_, c), lambda bi: (bi, 0),
-                                   memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((b * np_, c), q.dtype),
+            out_specs=(
+                [pl.BlockSpec((gb * np_, c), lambda bi: (bi, 0),
+                              memory_space=pltpu.VMEM),
+                 pl.BlockSpec((gb * np_, 2 * h), lambda bi: (bi, 0),
+                              memory_space=pltpu.VMEM)]
+                if want_stats else
+                pl.BlockSpec((gb * np_, c), lambda bi: (bi, 0),
+                             memory_space=pltpu.VMEM)
+            ),
+            out_shape=(
+                [jax.ShapeDtypeStruct((b * np_, c), q.dtype),
+                 jax.ShapeDtypeStruct((b * np_, 2 * h), jnp.float32)]
+                if want_stats else
+                jax.ShapeDtypeStruct((b * np_, c), q.dtype)
+            ),
         )(q_s, kv_p, posq_s, pos_t, ncc_s, *tail_operands)
-        out = out.reshape(b, np_, c)[:, :n, :]
-        return (out, None) if want_stats else out
+        if want_stats:
+            out = res[0].reshape(b, np_, c)[:, :n, :]
+            stats = res[1].reshape(b, np_, 2 * h)[:, :n, :]
+            return out, stats
+        return res.reshape(b, np_, c)[:, :n, :]
 
     if compact:
         # Resident K/V (fetched once per image group) + per-tile compact
@@ -2335,9 +2380,10 @@ def _attention_bwd_impl(q, kv, ncc, pos, pe_kernel, pe_bias, blank_k,
 
     nt = n // tq
     sbands = window is None and nb > 0
-    # saved-residual fast path: only meaningful on the windowed
-    # batch-invariant route (the fwd produced stats under the same
-    # _route predicate, so presence implies the route matches)
+    # saved-residual fast path: windowed batch-invariant or stacked
+    # routes (the fwd produced stats under its own _route; if the bwd
+    # route diverges — e.g. MLAFF_STACK_BWD=0 — the residuals are
+    # simply unused and the recompute path runs)
     use_saved = saved is not None and route.wsg_ok
     kernel = functools.partial(
         _bwd_kernel, h=h, cs=cs, n_valid=n, rel_width=rel_width,
@@ -2385,6 +2431,7 @@ def _attention_bwd_impl(q, kv, ncc, pos, pe_kernel, pe_bias, blank_k,
     # which LOST at stage-2 widths pre-pinv — stacking the stage-2
     # BACKWARD wins, r4f-4 chip A/B: mini train 1034.5 -> 1060.1 img/s)
     stacked_bwd = route.stacked
+    use_saved_stacked = saved is not None and stacked_bwd
     if stacked_bwd:
         # empirical charge: the measured Mosaic scoped footprint at
         # (gb=8, np_=248, c=192, h=6) was 111 M (queue r4c-2 OOM), i.e.
@@ -2401,12 +2448,33 @@ def _attention_bwd_impl(q, kv, ncc, pos, pe_kernel, pe_bias, blank_k,
         skernel = functools.partial(
             _bwd_kernel_stacked, h=h, cs=cs, n_valid=n, np_=np_,
             rel_width=rel_width, clamp_hi=clamp_hi, hiprec=hiprec,
-            gb=gb_s,
+            gb=gb_s, sv=use_saved_stacked,
         )
         q_s = _pad_rows(q, np_).reshape(b * np_, c)
         posq_s = _pad_rows(pos_q, np_).reshape(b * np_, 2)
         ncc_s = _pad_rows(ncc, np_).reshape(b * np_, nnc)
         go_s = _pad_rows(g_out, np_).reshape(b * np_, c)
+        saved_operands = ()
+        saved_specs = []
+        if use_saved_stacked:
+            outp_s = _pad_rows(saved[0], np_).reshape(b * np_, c)
+            stats_p = _pad_rows(saved[1].astype(jnp.float32), np_)
+            if np_ != n:
+                # padded rows carry (mx=+big, denom=1) so the kernel's
+                # exp(lg - mx) underflows to exact zeros there (their
+                # q rows are zero but the bias plane is not — a zero mx
+                # would let exp(bias) overflow; see _bwd_kernel_stacked)
+                row = jnp.arange(np_)[None, :, None]
+                lane = jnp.arange(2 * h)[None, None, :]
+                pad_stats = jnp.where(lane < h, 1e30, 1.0)
+                stats_p = jnp.where(row < n, stats_p, pad_stats)
+            saved_operands = (outp_s, stats_p.reshape(b * np_, 2 * h))
+            saved_specs = [
+                pl.BlockSpec((gb_s * np_, c), lambda bi: (bi, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((gb_s * np_, 2 * h), lambda bi: (bi, 0),
+                             memory_space=pltpu.VMEM),
+            ]
         outs = pl.pallas_call(
             skernel,
             grid=(b // gb_s,),
@@ -2429,6 +2497,7 @@ def _attention_bwd_impl(q, kv, ncc, pos, pe_kernel, pe_bias, blank_k,
                 pl.BlockSpec(memory_space=pltpu.VMEM),
                 pl.BlockSpec((gb_s * np_, c), lambda bi: (bi, 0),
                              memory_space=pltpu.VMEM),
+                *saved_specs,
             ],
             out_specs=[
                 pl.BlockSpec((gb_s * np_, c), lambda bi: (bi, 0),
@@ -2448,7 +2517,8 @@ def _attention_bwd_impl(q, kv, ncc, pos, pe_kernel, pe_bias, blank_k,
             ],
         )(q_s, kv_p, posq_s, pos_p.transpose(0, 2, 1), ncc_s,
           pe_kernel.astype(jnp.float32), pe_bias.astype(jnp.float32),
-          blank_k.astype(q.dtype), blank_v.astype(jnp.float32), go_s)
+          blank_k.astype(q.dtype), blank_v.astype(jnp.float32), go_s,
+          *saved_operands)
         o_dq, o_dkv, o_dpe, o_dblank = outs
         dq = o_dq.reshape(b, np_, c)[:, :n]
         dkv = o_dkv[:, :n]
@@ -2893,10 +2963,11 @@ def _fca_fwd(q, kv, ncc, pos, pe_kernel, pe_bias, blank_k, blank_v,
     # 8.52 ms at b128).
     b, n, c = q.shape
     np_ = -(-n // cs) * cs
+    rf = _route(n, np_, cs, static_ncc, None, bwd=False)
     want = (
         os.environ.get("MLAFF_BWD_SAVED", "0") == "1"
         and _PALLAS_BWD and (c // h) % 8 == 0
-        and _route(n, np_, cs, static_ncc, None, bwd=True).wsg_ok
+        and (rf.wsg_ok or rf.stacked)
     )
     if want:
         out, stats = _attention_fwd_impl(
