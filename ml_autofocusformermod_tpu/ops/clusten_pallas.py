@@ -254,6 +254,16 @@ class _Route(NamedTuple):
     wsg_ok: bool             # windowed row-stacking eligible
 
 
+def _saved_stacked_ok(np_: int) -> bool:
+    """Size floor for the saved-residual STACKED backward: at the tiny
+    stages (np_ <= 256 — AFF stages 3/4) the lane reductions the saved
+    path removes are already cheap and the stats traffic edges ahead
+    (r5d-2/3 chip A/B: n=196 bwd 1.551 -> 1.676 ms), while stage-2
+    widths win (n=784: 5.987 -> 5.223 ms). The windowed route has no
+    floor (stage-1 wins outright: 13.95 -> 9.56 ms)."""
+    return np_ > int(os.environ.get("MLAFF_BWD_SAVED_NMIN", "256"))
+
+
 def _route(n: int, np_: int, cs: int, static_ncc, drop, *,
            bwd: bool) -> _Route:
     """Decide the dispatch path for one attention shape.
@@ -2431,7 +2441,9 @@ def _attention_bwd_impl(q, kv, ncc, pos, pe_kernel, pe_bias, blank_k,
     # which LOST at stage-2 widths pre-pinv — stacking the stage-2
     # BACKWARD wins, r4f-4 chip A/B: mini train 1034.5 -> 1060.1 img/s)
     stacked_bwd = route.stacked
-    use_saved_stacked = saved is not None and stacked_bwd
+    use_saved_stacked = (
+        saved is not None and stacked_bwd and _saved_stacked_ok(np_)
+    )
     if stacked_bwd:
         # empirical charge: the measured Mosaic scoped footprint at
         # (gb=8, np_=248, c=192, h=6) was 111 M (queue r4c-2 OOM), i.e.
@@ -2965,9 +2977,9 @@ def _fca_fwd(q, kv, ncc, pos, pe_kernel, pe_bias, blank_k, blank_v,
     np_ = -(-n // cs) * cs
     rf = _route(n, np_, cs, static_ncc, None, bwd=False)
     want = (
-        os.environ.get("MLAFF_BWD_SAVED", "0") == "1"
+        os.environ.get("MLAFF_BWD_SAVED", "1") == "1"
         and _PALLAS_BWD and (c // h) % 8 == 0
-        and (rf.wsg_ok or rf.stacked)
+        and (rf.wsg_ok or (rf.stacked and _saved_stacked_ok(np_)))
     )
     if want:
         out, stats = _attention_fwd_impl(

@@ -136,10 +136,14 @@ LATTICE = [
     ("padded-prime-n", {"MLAFF_STACK": "0"}, 617,
      lambda r: not r.stacked and r.nb == 0 and r.window is None),
     # saved-residual stacked backward (MLAFF_BWD_SAVED) at a padded
-    # shape: exercises the (mx=+big, denom=1) padded-row stats fix
-    ("stacked-saved", {"MLAFF_STACK": "1", "MLAFF_BWD_SAVED": "1"}, 196,
+    # shape: exercises the (mx=+big, denom=1) padded-row stats fix.
+    # NMIN=0 forces the saved path below its default 256 size floor so
+    # these small shapes still cover it.
+    ("stacked-saved", {"MLAFF_STACK": "1", "MLAFF_BWD_SAVED": "1",
+                       "MLAFF_BWD_SAVED_NMIN": "0"}, 196,
      lambda r: r.stacked),
-    ("stacked-saved-128", {"MLAFF_STACK": "1", "MLAFF_BWD_SAVED": "1"},
+    ("stacked-saved-128", {"MLAFF_STACK": "1", "MLAFF_BWD_SAVED": "1",
+                           "MLAFF_BWD_SAVED_NMIN": "0"},
      128, lambda r: r.stacked),
 ]
 
