@@ -128,11 +128,11 @@ def _timed(fn, *args) -> float:
     return (t2 - t1) / reps
 
 
-def mini_train() -> None:
-    """Full train step (mixup + fwd + bwd + clip + AdamW + EMA) on AFF-Mini."""
+def mini_train(preset: str = "mini") -> None:
+    """Full train step (mixup + fwd + bwd + clip + AdamW + EMA)."""
     from ml_autofocusformermod_tpu.train import trainer
 
-    cfg, model = _build("mini")
+    cfg, model = _build(preset)
     images = jax.random.normal(jax.random.PRNGKey(1), (BATCH, 224, 224, 3))
     labels = jnp.arange(BATCH) % 1000
     from bench_common import host_init
@@ -194,7 +194,7 @@ def mini_train() -> None:
     temp = getattr(chain.memory_analysis(), "temp_size_in_bytes", None)
     if isinstance(temp, (int, float)):
         print(json.dumps({
-            "metric": "aff_mini_224_train_temp_bytes",
+            "metric": f"aff_{preset}_224_train_temp_bytes",
             "value": int(temp), "unit": "bytes", "vs_baseline": None,
         }))
 
@@ -216,7 +216,7 @@ def mini_train() -> None:
     t2 = time.time()
     fps = reps * CHUNK * BATCH / (t2 - t1)
     print(json.dumps({
-        "metric": "aff_mini_224_train_images_per_sec",
+        "metric": f"aff_{preset}_224_train_images_per_sec",
         "value": round(fps, 1), "unit": "img/s", "vs_baseline": None,
     }))
 
@@ -227,5 +227,7 @@ if __name__ == "__main__":
         fwd(sys.argv[2])
     elif mode == "small_fwd":
         fwd("small")
+    elif mode == "train":
+        mini_train(sys.argv[2])
     else:
         mini_train()
