@@ -187,17 +187,39 @@ def _merge_fwd_kernel(w_ref, feat_ref, ncc_ref, out_ref, *, cs: int,
     prec = jax.lax.Precision.HIGHEST if hiprec else None
     cdt = jnp.float32 if hiprec else jnp.bfloat16
     sbatch = _sbatch_on(cs, ic, c)
+    # MLAFF_MPROBE (perf decomposition only — breaks numerics, mirror of
+    # the attention kernel's MLAFF_BPROBE): 'ohconst' drops the ncc
+    # masked-lane-reduction one-hot build, 'nogather' the (n', k) @
+    # (k, cs*c) gather matmul, 'nowe' the per-s weight-broadcast matmuls,
+    # 'nogtile' the per-s lane concat, 'nosloop' the whole per-s FMA
+    # chain. scripts/bench_merge.py uses these to attribute the merge
+    # cost per stage. Trace-time only; comma-separable.
+    mprobe = os.environ.get("MLAFF_MPROBE", "")
     for bi in range(gb):
         ncc_all = ncc_ref[bi]  # (n', nnc)
         kiota = jax.lax.broadcasted_iota(jnp.int32, (n_, k), 1)
         feat2 = feat_ref[bi]  # (k, cs*c) resident
 
         def jbody(j, acc):
-            oh = (kiota == _nccj_column(ncc_all, j)).astype(cdt)
-            g = jax.lax.dot_general(
-                oh, feat2, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32, precision=prec,
-            )  # (n', cs*c): the full gathered clusters ncc[:, j], f32
+            if "ohconst" in mprobe:
+                oh = (kiota == j).astype(cdt)
+            else:
+                oh = (kiota == _nccj_column(ncc_all, j)).astype(cdt)
+            if "nogather" in mprobe:
+                # stand-in with a normal layout: a (n', 8) @ (8, cs*c)
+                # matmul, ~k/8 x cheaper than the real gather
+                g = jax.lax.dot_general(
+                    jnp.full((n_, 8), 0.125, cdt), feat2[:8],
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32, precision=prec,
+                )
+            else:
+                g = jax.lax.dot_general(
+                    oh, feat2, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32, precision=prec,
+                )  # (n', cs*c): the full gathered clusters ncc[:, j], f32
+            if "nosloop" in mprobe:
+                return acc + g[:, : ic * c]
             if sbatch:
                 # v4: ONE (n', cs*nnc*ic) @ EB_j broadcast + ONE
                 # lane-assembled f32 product + cs-1 block adds replace the
@@ -223,11 +245,17 @@ def _merge_fwd_kernel(w_ref, feat_ref, ncc_ref, out_ref, *, cs: int,
             ej = _expand_mat(j, nnc, ic, c, cdt)
             for s in range(cs):  # static: lane slices at fixed offsets
                 gs = g[:, s * c:(s + 1) * c]
-                we = jax.lax.dot_general(
-                    w_ref[bi, s], ej, (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32, precision=prec,
-                )  # (n', ic*c): w[:, (j,s,i)] broadcast over lane block i
-                gtile = jnp.concatenate([gs] * ic, axis=1)
+                if "nowe" in mprobe:
+                    we = g[:, : ic * c]
+                else:
+                    we = jax.lax.dot_general(
+                        w_ref[bi, s], ej, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32, precision=prec,
+                    )  # (n', ic*c): w[:,(j,s,i)] broadcast over lane blk i
+                if "nogtile" in mprobe:
+                    gtile = g[:, : ic * c]
+                else:
+                    gtile = jnp.concatenate([gs] * ic, axis=1)
                 acc = acc + we * gtile
             return acc
 
@@ -262,6 +290,11 @@ def _merge_bwd_kernel(w_ref, feat_ref, ncc_ref, g_ref, dw_ref, dfeat_ref,
     rm = _sum_i_mat(ic, c, cdt)
     sbatch = _sbatch_on(cs, ic, c)
     rmb = _sbatch_sum_i_mat(ic, c, cs, cdt) if sbatch else None
+    # MLAFF_MPROBE bwd legs (see forward): 'ohconst', 'nogather', plus
+    # 'nodw' (drop the d_weights P@R_j chain), 'nowe' (drop the
+    # M_js = (w@E_j . g) @ Rm chain; the scatter consumes g instead) and
+    # 'noscatter' (drop the oh^T @ mall d_feat matmul + accumulate).
+    mprobe = os.environ.get("MLAFF_MPROBE", "")
     for bi in range(gb):
         ncc_all = ncc_ref[bi]
         kiota = jax.lax.broadcasted_iota(jnp.int32, (n_, k), 1)
@@ -322,26 +355,41 @@ def _merge_bwd_kernel(w_ref, feat_ref, ncc_ref, g_ref, dw_ref, dfeat_ref,
             return 0
 
         def jbody(j, _):
-            oh = (kiota == _nccj_column(ncc_all, j)).astype(cdt)
-            g = jax.lax.dot_general(
-                oh, feat2, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32, precision=prec,
-            )  # (n', cs*c) gathered clusters, f32 (same hoist as forward)
+            if "ohconst" in mprobe:
+                oh = (kiota == j).astype(cdt)
+            else:
+                oh = (kiota == _nccj_column(ncc_all, j)).astype(cdt)
+            if "nogather" in mprobe:
+                # stand-in with a normal layout: a (n', 8) @ (8, cs*c)
+                # matmul, ~k/8 x cheaper than the real gather
+                g = jax.lax.dot_general(
+                    jnp.full((n_, 8), 0.125, cdt), feat2[:8],
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32, precision=prec,
+                )
+            else:
+                g = jax.lax.dot_general(
+                    oh, feat2, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32, precision=prec,
+                )  # (n', cs*c) gathered clusters, f32 (fwd's hoist)
             ej = _expand_mat(j, nnc, ic, c, cdt)
             rj = _reduce_mat(j, nnc, ic, c, cdt)
             mjs_all = []
             for s in range(cs):  # static lane offsets
                 gs = g[:, s * c:(s + 1) * c]
-                gstile = jnp.concatenate([gs] * ic, axis=1)  # (n', ic*c)
-                # d_w columns j*ic+i: sum_c g_i * gs  (P @ R_j)
-                dws = jax.lax.dot_general(
-                    (gall * gstile.astype(gall.dtype)), rj,
-                    (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32, precision=prec,
-                )  # (n', nnc*ic), nonzero only in this j's columns
-                dw_ref[bi, s] = (
-                    dw_ref[bi, s] + dws.astype(dw_ref.dtype)
-                )
+                if "nodw" not in mprobe:
+                    gstile = jnp.concatenate([gs] * ic, axis=1)  # (n',ic*c)
+                    # d_w columns j*ic+i: sum_c g_i * gs  (P @ R_j)
+                    dws = jax.lax.dot_general(
+                        (gall * gstile.astype(gall.dtype)), rj,
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32, precision=prec,
+                    )  # (n', nnc*ic), nonzero only in this j's columns
+                    dw_ref[bi, s] = (
+                        dw_ref[bi, s] + dws.astype(dw_ref.dtype)
+                    )
+                if "nowe" in mprobe:
+                    continue
                 # M_js = sum_i w[:, (j,s,i)] * g_i  ((WE . g) @ Rm)
                 we = jax.lax.dot_general(
                     w_ref[bi, s], ej, (((1,), (0,)), ((), ())),
@@ -352,10 +400,15 @@ def _merge_bwd_kernel(w_ref, feat_ref, ncc_ref, g_ref, dw_ref, dfeat_ref,
                     (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32, precision=prec,
                 ))  # (n', c)
+            if "noscatter" in mprobe:
+                return 0
             # d_feat scatter for this j: ONE (k, n') @ (n', cs*c) one-hot
             # transpose matmul over the s-assembled plane (v2 issued cs
             # separate (k, n') @ (n', c) 32-lane matmuls here)
-            mall = jnp.concatenate(mjs_all, axis=1)  # (n', cs*c)
+            if "nowe" in mprobe:
+                mall = g  # shape-compatible stand-in, keeps the scatter
+            else:
+                mall = jnp.concatenate(mjs_all, axis=1)  # (n', cs*c)
             dfeat_ref[bi] = dfeat_ref[bi] + jax.lax.dot_general(
                 oh, mall.astype(cdt), (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32, precision=prec,
