@@ -120,6 +120,30 @@ def _sum_i_mat(ic, c, dtype):
     return (r % c == q).astype(dtype)
 
 
+def _tile_mat(ic, c, dtype):
+    """T (c, ic*c): T[c', i*c + c''] = (c' == c'') — ``gs @ T`` replicates
+    the (n', c) gathered slot across the ic lane blocks.  The MXU
+    replacement for ``jnp.concatenate([gs] * ic, axis=1)``: at c % 128 != 0
+    (AFF stage 1, c=32) the concat's misaligned lane offsets lower to
+    VPU shuffle chains (r5g decomposition: 0.73 ms of the 3.8 ms s1
+    forward), while the one-hot matmul is exact (each output column is a
+    verbatim copy) and near-free on the MXU."""
+    r = jax.lax.broadcasted_iota(jnp.int32, (c, ic * c), 0)
+    q = jax.lax.broadcasted_iota(jnp.int32, (c, ic * c), 1)
+    return (r == q % c).astype(dtype)
+
+
+def _gtile_mm(c) -> bool:
+    """Route the ic-fold lane replication: matmul when the slot width is
+    lane-misaligned (unless forced), concat when aligned (free)."""
+    mode = os.environ.get("MLAFF_MERGE_GTILE", "auto")
+    if mode == "mm":
+        return True
+    if mode == "cat":
+        return False
+    return c % 128 != 0
+
+
 # --- s-batched (v4) constant matrices -------------------------------------
 # The v3 bodies loop the cs=8 cluster slots and issue 24-to-32-lane-output
 # matmuls per slot (1/4-or-worse MXU utilization; the same narrowness that
@@ -187,6 +211,7 @@ def _merge_fwd_kernel(w_ref, feat_ref, ncc_ref, out_ref, *, cs: int,
     prec = jax.lax.Precision.HIGHEST if hiprec else None
     cdt = jnp.float32 if hiprec else jnp.bfloat16
     sbatch = _sbatch_on(cs, ic, c)
+    tilemm = _tile_mat(ic, c, jnp.float32) if _gtile_mm(c) else None
     # MLAFF_MPROBE (perf decomposition only — breaks numerics, mirror of
     # the attention kernel's MLAFF_BPROBE): 'ohconst' drops the ncc
     # masked-lane-reduction one-hot build, 'nogather' the (n', k) @
@@ -254,6 +279,12 @@ def _merge_fwd_kernel(w_ref, feat_ref, ncc_ref, out_ref, *, cs: int,
                     )  # (n', ic*c): w[:,(j,s,i)] broadcast over lane blk i
                 if "nogtile" in mprobe:
                     gtile = g[:, : ic * c]
+                elif tilemm is not None:
+                    gtile = jax.lax.dot_general(
+                        gs, tilemm, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST,
+                    )  # exact one-hot replication, no lane shuffles
                 else:
                     gtile = jnp.concatenate([gs] * ic, axis=1)
                 acc = acc + we * gtile
@@ -290,6 +321,18 @@ def _merge_bwd_kernel(w_ref, feat_ref, ncc_ref, g_ref, dw_ref, dfeat_ref,
     rm = _sum_i_mat(ic, c, cdt)
     sbatch = _sbatch_on(cs, ic, c)
     rmb = _sbatch_sum_i_mat(ic, c, cs, cdt) if sbatch else None
+    tilemm = _tile_mat(ic, c, jnp.float32) if _gtile_mm(c) else None
+    # v5 (default): accumulate d_feat and the cs d_weights slabs in the
+    # fori carry (registers/stack) and write each ref ONCE after the j
+    # loop. The v3 read-modify-write accumulation serialized the loop
+    # through VMEM refs — the r5g decomposition pinned it as the two
+    # largest bwd legs at EVERY stage (scatter RMW 1.9-2.4 ms, dw RMW
+    # 0.8-1.9 ms/stage at b128) even where the matmul FLOPs are trivial.
+    # Numerics are unchanged: d_feat accumulates f32 in the same j order,
+    # and each d_w column slab is still produced exactly once.
+    # MLAFF_MERGE_BWD_ACC=ref restores the RMW layout for A/Bs.
+    regacc = (os.environ.get("MLAFF_MERGE_BWD_ACC", "reg") == "reg"
+              and not sbatch)
     # MLAFF_MPROBE bwd legs (see forward): 'ohconst', 'nogather', plus
     # 'nodw' (drop the d_weights P@R_j chain), 'nowe' (drop the
     # M_js = (w@E_j . g) @ Rm chain; the scatter consumes g instead) and
@@ -300,9 +343,10 @@ def _merge_bwd_kernel(w_ref, feat_ref, ncc_ref, g_ref, dw_ref, dfeat_ref,
         kiota = jax.lax.broadcasted_iota(jnp.int32, (n_, k), 1)
         gall = g_ref[bi]  # (n', ic*c)
         feat2 = feat_ref[bi]  # (k, cs*c)
-        for s in range(cs):
-            dw_ref[bi, s] = jnp.zeros(dw_ref.shape[2:], dw_ref.dtype)
-        dfeat_ref[bi] = jnp.zeros(dfeat_ref.shape[1:], dfeat_ref.dtype)
+        if not regacc:
+            for s in range(cs):
+                dw_ref[bi, s] = jnp.zeros(dw_ref.shape[2:], dw_ref.dtype)
+            dfeat_ref[bi] = jnp.zeros(dfeat_ref.shape[1:], dfeat_ref.dtype)
         if sbatch:
             # blocks (s, i) = gall_i — image-invariant across j, hoisted
             gall_cat = jnp.concatenate([gall] * cs, axis=1)
@@ -354,7 +398,9 @@ def _merge_bwd_kernel(w_ref, feat_ref, ncc_ref, g_ref, dw_ref, dfeat_ref,
             ).astype(dfeat_ref.dtype)
             return 0
 
-        def jbody(j, _):
+        def jbody(j, carry):
+            if regacc:
+                dfeat_acc, dw_accs = carry
             if "ohconst" in mprobe:
                 oh = (kiota == j).astype(cdt)
             else:
@@ -378,16 +424,29 @@ def _merge_bwd_kernel(w_ref, feat_ref, ncc_ref, g_ref, dw_ref, dfeat_ref,
             for s in range(cs):  # static lane offsets
                 gs = g[:, s * c:(s + 1) * c]
                 if "nodw" not in mprobe:
-                    gstile = jnp.concatenate([gs] * ic, axis=1)  # (n',ic*c)
+                    if tilemm is not None:
+                        gstile = jax.lax.dot_general(
+                            gs, tilemm, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.HIGHEST,
+                        )  # exact replication, no lane shuffles
+                    else:
+                        gstile = jnp.concatenate(
+                            [gs] * ic, axis=1)  # (n', ic*c)
                     # d_w columns j*ic+i: sum_c g_i * gs  (P @ R_j)
                     dws = jax.lax.dot_general(
                         (gall * gstile.astype(gall.dtype)), rj,
                         (((1,), (0,)), ((), ())),
                         preferred_element_type=jnp.float32, precision=prec,
                     )  # (n', nnc*ic), nonzero only in this j's columns
-                    dw_ref[bi, s] = (
-                        dw_ref[bi, s] + dws.astype(dw_ref.dtype)
-                    )
+                    if regacc:
+                        dw_accs = (dw_accs[:s]
+                                   + (dw_accs[s] + dws,)
+                                   + dw_accs[s + 1:])
+                    else:
+                        dw_ref[bi, s] = (
+                            dw_ref[bi, s] + dws.astype(dw_ref.dtype)
+                        )
                 if "nowe" in mprobe:
                     continue
                 # M_js = sum_i w[:, (j,s,i)] * g_i  ((WE . g) @ Rm)
@@ -401,7 +460,7 @@ def _merge_bwd_kernel(w_ref, feat_ref, ncc_ref, g_ref, dw_ref, dfeat_ref,
                     preferred_element_type=jnp.float32, precision=prec,
                 ))  # (n', c)
             if "noscatter" in mprobe:
-                return 0
+                return (dfeat_acc, dw_accs) if regacc else 0
             # d_feat scatter for this j: ONE (k, n') @ (n', cs*c) one-hot
             # transpose matmul over the s-assembled plane (v2 issued cs
             # separate (k, n') @ (n', c) 32-lane matmuls here)
@@ -409,13 +468,29 @@ def _merge_bwd_kernel(w_ref, feat_ref, ncc_ref, g_ref, dw_ref, dfeat_ref,
                 mall = g  # shape-compatible stand-in, keeps the scatter
             else:
                 mall = jnp.concatenate(mjs_all, axis=1)  # (n', cs*c)
-            dfeat_ref[bi] = dfeat_ref[bi] + jax.lax.dot_general(
+            dfj = jax.lax.dot_general(
                 oh, mall.astype(cdt), (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32, precision=prec,
-            ).astype(dfeat_ref.dtype)
+            )
+            if regacc:
+                return (dfeat_acc + dfj, dw_accs)
+            dfeat_ref[bi] = dfeat_ref[bi] + dfj.astype(dfeat_ref.dtype)
             return 0
 
-        jax.lax.fori_loop(0, nnc, jbody_sbatch if sbatch else jbody, 0)
+        if sbatch:
+            jax.lax.fori_loop(0, nnc, jbody_sbatch, 0)
+        elif regacc:
+            init = (
+                jnp.zeros((k, csc), jnp.float32),
+                tuple(jnp.zeros((n_, nnc * ic), jnp.float32)
+                      for _ in range(cs)),
+            )
+            dfeat_acc, dw_accs = jax.lax.fori_loop(0, nnc, jbody, init)
+            dfeat_ref[bi] = dfeat_acc.astype(dfeat_ref.dtype)
+            for s in range(cs):
+                dw_ref[bi, s] = dw_accs[s].astype(dw_ref.dtype)
+        else:
+            jax.lax.fori_loop(0, nnc, jbody, 0)
 
 
 def _pad_axis(x, axis, target):
@@ -456,7 +531,7 @@ def _pick_gb(b, per_image):
     return gb
 
 
-def _stack_model(n_, k, cs, c, ic, nnc, itemsize):
+def _stack_model(n_, k, cs, c, ic, nnc, itemsize, bwd=False):
     """Per-image scoped-VMEM estimate for the rolled-loop kernel body.
 
     Everything n'-rows-tall is lane-padded to 128 by Mosaic, so count
@@ -476,6 +551,11 @@ def _stack_model(n_, k, cs, c, ic, nnc, itemsize):
         # v4 keeps ~3 lane-assembled (n', cs*ic*c) planes live per j
         # (g_cat / we_cat / product) plus the hoisted gall_cat
         base += n_ * max(cs * ic * c, lane) * f32 * 4
+    if bwd and os.environ.get("MLAFF_MERGE_BWD_ACC", "reg") == "reg":
+        # v5 bwd fori carry: d_feat (k, cs*c) + cs d_weights slabs
+        # (lane-padded) held in registers/stack across the j loop
+        base += k * max(cs * c, lane) * f32
+        base += cs * n_ * max(nnc * ic, lane) * f32
     return base
 
 
@@ -519,7 +599,7 @@ def _merge_bwd_impl(weights, feat, ncc, cluster_size, g):
         g.reshape(b, n_, ic * c).astype(weights.dtype), 1, n_pad
     )
     gb = _pick_gb(b, _stack_model(n_pad, k, cs, c, ic, nnc,
-                                  feat2.dtype.itemsize) * 2)
+                                  feat2.dtype.itemsize, bwd=True) * 2)
 
     kernel = functools.partial(
         _merge_bwd_kernel, cs=cs, ic=ic,
