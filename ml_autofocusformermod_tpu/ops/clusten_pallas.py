@@ -2046,18 +2046,36 @@ def _bwd_kernel(*refs, h: int, cs: int, n_valid: int, rel_width: int,
                             )
                         if "nodkv" in bprobe or ob > 1:
                             continue
-                        dkw = jax.lax.dot_general(
-                            dlm, q_ref[b0 + o, :, hi * c_:(hi + 1) * c_],
-                            (((0,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32,
-                            precision=prec,
-                        )
-                        dvw = jax.lax.dot_general(
-                            ps[j][osl].astype(md), go_s_tall[osl],
-                            (((0,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32,
-                            precision=prec,
-                        )  # go_s carries the pinv row scale
+                        if "dkvnomm" in bprobe:
+                            # keep the (wb, c_) ref accumulation, replace
+                            # the matmuls with an 8-row stand-in (~tq/8 x
+                            # cheaper) — separates matmul vs RMW cost
+                            dkw = jax.lax.dot_general(
+                                dlm[:8],
+                                q_ref[b0 + o, :8, hi * c_:(hi + 1) * c_],
+                                (((0,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32,
+                                precision=prec,
+                            )
+                            dvw = jax.lax.dot_general(
+                                ps[j][osl][:8].astype(md), go_s_tall[osl][:8],
+                                (((0,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32,
+                                precision=prec,
+                            )
+                        else:
+                            dkw = jax.lax.dot_general(
+                                dlm, q_ref[b0 + o, :, hi * c_:(hi + 1) * c_],
+                                (((0,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32,
+                                precision=prec,
+                            )
+                            dvw = jax.lax.dot_general(
+                                ps[j][osl].astype(md), go_s_tall[osl],
+                                (((0,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32,
+                                precision=prec,
+                            )  # go_s carries the pinv row scale
                         k0 = 2 * hi * c_
                         v0 = (2 * hi + 1) * c_
                         c0b = col0(j, b0 + o)
