@@ -138,3 +138,34 @@ def test_merge_sbatch_matches_default(monkeypatch):
                                atol=1e-5, rtol=1e-5)
     np.testing.assert_allclose(np.asarray(gf1), np.asarray(gf0),
                                atol=1e-5, rtol=1e-5)
+
+
+@pytest.mark.parametrize("acc", ["reg", "ref"])
+@pytest.mark.parametrize("gtile", ["auto", "mm", "cat"])
+def test_merge_v5_knob_lattice(monkeypatch, acc, gtile):
+    """v5 accumulate/replication lattice vs the XLA reference chain.
+
+    MLAFF_MERGE_BWD_ACC=reg (default) carries d_feat and the cs
+    d_weights slabs through the fori loop and writes each ref once;
+    =ref restores the v3 read-modify-write layout. MLAFF_MERGE_GTILE
+    routes the ic-fold lane replication (one-hot MXU matmul vs lane
+    concat). Every combination must match the XLA chain's grads exactly
+    at fp32 (the matmul replication is an exact copy by construction)."""
+    monkeypatch.setenv("MLAFF_MERGE_BWD_ACC", acc)
+    monkeypatch.setenv("MLAFF_MERGE_GTILE", gtile)
+    weights, feat, ncc = _case(2, 52, 12, 8, 8, 3)  # padded last cluster
+
+    def loss_fused(w, f):
+        o = fused_cluster_merge(w, f, ncc, 8)
+        return (o * jnp.cos(jnp.arange(o.size).reshape(o.shape))).sum()
+
+    def loss_ref(w, f):
+        o = _ref(w, f, ncc, 8)
+        return (o * jnp.cos(jnp.arange(o.size).reshape(o.shape))).sum()
+
+    gw, gf = jax.grad(loss_fused, argnums=(0, 1))(weights, feat)
+    rw, rf = jax.grad(loss_ref, argnums=(0, 1))(weights, feat)
+    np.testing.assert_allclose(np.asarray(gw), np.asarray(rw), atol=1e-5,
+                               rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(gf), np.asarray(rf), atol=1e-5,
+                               rtol=1e-5)
