@@ -1869,7 +1869,22 @@ def _bwd_kernel(*refs, h: int, cs: int, n_valid: int, rel_width: int,
     # chains run ONCE per head over wsg images' rows. QK/AV/dq/dkv
     # matmuls and the banded dkv accumulation stay per image.
     if wsg > 1 and scratch_lg is not None:
+        # MLAFF_BWD_DKV_CAT=1: collect each image's per-head dkw/dvw
+        # blocks and fold them into ONE full-width (wb, 2h*c_) banded
+        # accumulate per image instead of 2h (wb, c_) 32-lane RMWs at
+        # dynamic sublane offsets — the write-combining twin of the merge
+        # kernel's v5 register-carry move (single-band windows only; the
+        # same pattern the non-windowed kernel uses via dkv_parts).
+        dkv_cat = (
+            os.environ.get("MLAFF_BWD_DKV_CAT", "0") == "1"
+            and nbands == 1
+            and int(os.environ.get("MLAFF_BWD_DKV_OB", "1")) <= 1
+            and "nodkv" not in bprobe and "dkvnomm" not in bprobe
+        )
         for b0 in range(0, gb, wsg):
+            cat_parts = (
+                [[None] * (2 * h) for _ in range(wsg)] if dkv_cat else None
+            )
             for hi in range(h):
                 q_tall = q_ref[b0:b0 + wsg, :, hi * c_:(hi + 1) * c_].reshape(
                     wsg * tq, c_)
@@ -2076,6 +2091,10 @@ def _bwd_kernel(*refs, h: int, cs: int, n_valid: int, rel_width: int,
                                 preferred_element_type=jnp.float32,
                                 precision=prec,
                             )  # go_s carries the pinv row scale
+                        if dkv_cat:
+                            cat_parts[o][2 * hi] = dkw
+                            cat_parts[o][2 * hi + 1] = dvw
+                            continue
                         k0 = 2 * hi * c_
                         v0 = (2 * hi + 1) * c_
                         c0b = col0(j, b0 + o)
@@ -2125,6 +2144,14 @@ def _bwd_kernel(*refs, h: int, cs: int, n_valid: int, rel_width: int,
                 dblank_ref[0, c_:2 * c_, hi:hi + 1] = (
                     dblank_ref[0, c_:2 * c_, hi:hi + 1] + dbv
                 )
+            if dkv_cat and cat_parts[0][0] is not None:
+                # one aligned full-width banded accumulate per image
+                for o in range(wsg):
+                    c0b = col0(0, b0 + o)
+                    blk = jnp.concatenate(cat_parts[o], axis=1)
+                    dkv_ref[b0 + o, pl.ds(c0b, wb), :] = (
+                        dkv_ref[b0 + o, pl.ds(c0b, wb), :] + blk
+                    )
         dpe_ref[...] = dpe_ref[...] + dpe_tile
         return
 
