@@ -211,7 +211,7 @@ def _merge_fwd_kernel(w_ref, feat_ref, ncc_ref, out_ref, *, cs: int,
     prec = jax.lax.Precision.HIGHEST if hiprec else None
     cdt = jnp.float32 if hiprec else jnp.bfloat16
     sbatch = _sbatch_on(cs, ic, c)
-    tilemm = _tile_mat(ic, c, jnp.float32) if _gtile_mm(c) else None
+    tilemm = _tile_mat(ic, c, cdt) if _gtile_mm(c) else None
     # MLAFF_MPROBE (perf decomposition only — breaks numerics, mirror of
     # the attention kernel's MLAFF_BPROBE): 'ohconst' drops the ncc
     # masked-lane-reduction one-hot build, 'nogather' the (n', k) @
@@ -280,11 +280,16 @@ def _merge_fwd_kernel(w_ref, feat_ref, ncc_ref, out_ref, *, cs: int,
                 if "nogtile" in mprobe:
                     gtile = g[:, : ic * c]
                 elif tilemm is not None:
+                    # exact one-hot replication, no lane shuffles. bf16
+                    # operands: the gathered rows are verbatim bf16
+                    # feature values (one-hot x bf16), so the cast is
+                    # exact; an f32 HIGHEST variant measured 3.8 -> 8.4
+                    # ms s1 fwd (f32 MXU passes, 48 issues/image)
                     gtile = jax.lax.dot_general(
-                        gs, tilemm, (((1,), (0,)), ((), ())),
+                        gs.astype(cdt), tilemm, (((1,), (0,)), ((), ())),
                         preferred_element_type=jnp.float32,
-                        precision=jax.lax.Precision.HIGHEST,
-                    )  # exact one-hot replication, no lane shuffles
+                        precision=prec,
+                    )
                 else:
                     gtile = jnp.concatenate([gs] * ic, axis=1)
                 acc = acc + we * gtile
@@ -321,7 +326,7 @@ def _merge_bwd_kernel(w_ref, feat_ref, ncc_ref, g_ref, dw_ref, dfeat_ref,
     rm = _sum_i_mat(ic, c, cdt)
     sbatch = _sbatch_on(cs, ic, c)
     rmb = _sbatch_sum_i_mat(ic, c, cs, cdt) if sbatch else None
-    tilemm = _tile_mat(ic, c, jnp.float32) if _gtile_mm(c) else None
+    tilemm = _tile_mat(ic, c, cdt) if _gtile_mm(c) else None
     # v5 (default): accumulate d_feat and the cs d_weights slabs in the
     # fori carry (registers/stack) and write each ref ONCE after the j
     # loop. The v3 read-modify-write accumulation serialized the loop
@@ -426,10 +431,10 @@ def _merge_bwd_kernel(w_ref, feat_ref, ncc_ref, g_ref, dw_ref, dfeat_ref,
                 if "nodw" not in mprobe:
                     if tilemm is not None:
                         gstile = jax.lax.dot_general(
-                            gs, tilemm, (((1,), (0,)), ((), ())),
+                            gs.astype(cdt), tilemm, (((1,), (0,)), ((), ())),
                             preferred_element_type=jnp.float32,
-                            precision=jax.lax.Precision.HIGHEST,
-                        )  # exact replication, no lane shuffles
+                            precision=prec,
+                        )  # exact replication (see fwd), no lane shuffles
                     else:
                         gstile = jnp.concatenate(
                             [gs] * ic, axis=1)  # (n', ic*c)
