@@ -136,7 +136,7 @@ def _tile_mat(ic, c, dtype):
 def _gtile_mm(c) -> bool:
     """Route the ic-fold lane replication: matmul when the slot width is
     lane-misaligned (unless forced), concat when aligned (free)."""
-    mode = os.environ.get("MLAFF_MERGE_GTILE", "auto")
+    mode = os.environ.get("MLAFF_MERGE_GTILE", "cat")
     if mode == "mm":
         return True
     if mode == "cat":
@@ -336,7 +336,7 @@ def _merge_bwd_kernel(w_ref, feat_ref, ncc_ref, g_ref, dw_ref, dfeat_ref,
     # Numerics are unchanged: d_feat accumulates f32 in the same j order,
     # and each d_w column slab is still produced exactly once.
     # MLAFF_MERGE_BWD_ACC=ref restores the RMW layout for A/Bs.
-    regacc = (os.environ.get("MLAFF_MERGE_BWD_ACC", "reg") == "reg"
+    regacc = (os.environ.get("MLAFF_MERGE_BWD_ACC", "ref") == "reg"
               and not sbatch)
     # MLAFF_MPROBE bwd legs (see forward): 'ohconst', 'nogather', plus
     # 'nodw' (drop the d_weights P@R_j chain), 'nowe' (drop the
@@ -556,7 +556,7 @@ def _stack_model(n_, k, cs, c, ic, nnc, itemsize, bwd=False):
         # v4 keeps ~3 lane-assembled (n', cs*ic*c) planes live per j
         # (g_cat / we_cat / product) plus the hoisted gall_cat
         base += n_ * max(cs * ic * c, lane) * f32 * 4
-    if bwd and os.environ.get("MLAFF_MERGE_BWD_ACC", "reg") == "reg":
+    if bwd and os.environ.get("MLAFF_MERGE_BWD_ACC", "ref") == "reg":
         # v5 bwd fori carry: d_feat (k, cs*c) + cs d_weights slabs
         # (lane-padded) held in registers/stack across the j loop
         base += k * max(cs * c, lane) * f32
