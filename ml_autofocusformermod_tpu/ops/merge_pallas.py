@@ -327,15 +327,14 @@ def _merge_bwd_kernel(w_ref, feat_ref, ncc_ref, g_ref, dw_ref, dfeat_ref,
     sbatch = _sbatch_on(cs, ic, c)
     rmb = _sbatch_sum_i_mat(ic, c, cs, cdt) if sbatch else None
     tilemm = _tile_mat(ic, c, cdt) if _gtile_mm(c) else None
-    # v5 (default): accumulate d_feat and the cs d_weights slabs in the
-    # fori carry (registers/stack) and write each ref ONCE after the j
-    # loop. The v3 read-modify-write accumulation serialized the loop
-    # through VMEM refs — the r5g decomposition pinned it as the two
-    # largest bwd legs at EVERY stage (scatter RMW 1.9-2.4 ms, dw RMW
-    # 0.8-1.9 ms/stage at b128) even where the matmul FLOPs are trivial.
-    # Numerics are unchanged: d_feat accumulates f32 in the same j order,
-    # and each d_w column slab is still produced exactly once.
-    # MLAFF_MERGE_BWD_ACC=ref restores the RMW layout for A/Bs.
+    # MLAFF_MERGE_BWD_ACC=reg: accumulate d_feat and the cs d_weights
+    # slabs in the fori carry and write each ref ONCE after the j loop.
+    # Motivated by the r5g decomposition (the ref RMW legs are the two
+    # largest bwd exposures at every stage) but it LOST the r5l chip A/B
+    # at every stage (s1 bwd 5.85 vs 4.94 ms): Mosaic materializes the
+    # carry tuple per iteration, costing more than the RMWs it removes.
+    # The v3 read-modify-write stays the default; numerics of the two
+    # paths are identical (f32, same j order, each slab produced once).
     regacc = (os.environ.get("MLAFF_MERGE_BWD_ACC", "ref") == "reg"
               and not sbatch)
     # MLAFF_MPROBE bwd legs (see forward): 'ohconst', 'nogather', plus
